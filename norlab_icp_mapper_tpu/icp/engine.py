@@ -1,0 +1,373 @@
+"""TPU-native ICP engine: the replacement for libpointmatcher's ICPSequence.
+
+The reference holds a stateful ``ICPSequence`` (``Mapper.h:23``) configured
+from the ``icp:`` YAML section (``Mapper.cpp:70-78``), gives it the local map
+(``Map.cpp:111,178,528,581``) and calls ``correction = icp(input)`` per scan
+(``Mapper.cpp:213``).  This engine reproduces that contract with an
+XLA-compiled solve:
+
+  - correspondence: tiled brute-force KNN (``ops/nn.py``) instead of a kd-tree
+  - outlier rejection: per-pair weights (trimmed-distance / max-distance)
+  - minimization: fused 6-DoF (3-DoF in 2-D) Gauss-Newton step — residuals,
+    J^T J (6x6) and J^T r (6) accumulated as one MXU matmul, solved on-chip,
+    SE(3) exp update — or closed-form weighted SVD (Kabsch) for
+    point-to-point
+  - convergence: counter / differential / bound transformation checkers
+    folded into the ``lax.while_loop`` predicate
+
+The whole iteration loop is a single jitted program per shape bucket; the
+returned "correction" has the same meaning as lpm's: ``corrected_pose =
+correction @ estimated_pose`` (``Mapper.cpp:215``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import se3
+from ..points import PointBatch
+from ..filters.core import FilterChain
+from ..ops.nn import knn
+
+__all__ = ["ICPEngine", "ICPResult"]
+
+
+class ICPResult(NamedTuple):
+    correction: jax.Array  # (D+1, D+1)
+    overlap: jax.Array  # scalar in [0, 1]
+    iterations: jax.Array  # i32
+    residual: jax.Array  # final weighted RMS residual
+
+
+# --------------------------------------------------------------------------
+# config parsing helpers (lpm-compatible names)
+# --------------------------------------------------------------------------
+
+_DEFAULTS: Dict[str, Any] = {
+    # mirrors lpm ICPChainBase::setDefault() — used when the mapper config
+    # has no `icp:` section (reference fallback at Mapper.cpp:74-78)
+    "readingDataPointsFilters": [{"RandomSamplingDataPointsFilter": {"prob": 0.75}}],
+    "referenceDataPointsFilters": [{"SurfaceNormalDataPointsFilter": {"knn": 10}}],
+    "matcher": {"KDTreeMatcher": {"knn": 1}},
+    "outlierFilters": [{"TrimmedDistOutlierFilter": {"ratio": 0.85}}],
+    "errorMinimizer": "PointToPlaneErrorMinimizer",
+    "transformationCheckers": [
+        {"CounterTransformationChecker": {"maxIterationCount": 40}},
+        {"DifferentialTransformationChecker": {
+            "minDiffRotErr": 0.001, "minDiffTransErr": 0.001, "smoothLength": 4}},
+    ],
+    "inspector": "NullInspector",
+}
+
+
+def _single_key(node, what: str):
+    if isinstance(node, str):
+        return node, {}
+    if isinstance(node, dict):
+        if len(node) != 1:
+            raise ValueError(f"{what}: expected single-key mapping, got {sorted(node)}")
+        name, params = next(iter(node.items()))
+        return name, dict(params or {})
+    raise ValueError(f"{what}: invalid YAML node {node!r}")
+
+
+class ICPEngine:
+    """Configured, stateful scan-to-map registration (ICPSequence parity)."""
+
+    VALID_KEYS = (
+        "readingDataPointsFilters", "readingStepDataPointsFilters",
+        "referenceDataPointsFilters", "matcher", "outlierFilters",
+        "errorMinimizer", "transformationCheckers", "inspector", "logger",
+    )
+
+    def __init__(self, config: Optional[Dict[str, Any]] = None, dim: int = 3):
+        self.dim = dim
+        self._ref: Optional[PointBatch] = None
+        self._solve_cache: Dict[Any, Any] = {}
+        self.load_config(config if config is not None else dict(_DEFAULTS))
+
+    # ------------------------------------------------------------- config
+    def set_default(self):
+        self.load_config(dict(_DEFAULTS))
+
+    def load_config(self, cfg: Dict[str, Any]):
+        for k in cfg:
+            if k not in self.VALID_KEYS:
+                raise ValueError(
+                    f"icp: unknown section '{k}'; valid: {self.VALID_KEYS}")
+        self.reading_filters = FilterChain.from_yaml(
+            cfg.get("readingDataPointsFilters"))
+        self.reference_filters = FilterChain.from_yaml(
+            cfg.get("referenceDataPointsFilters"))
+        if cfg.get("readingStepDataPointsFilters"):
+            raise ValueError("readingStepDataPointsFilters not supported yet")
+
+        name, p = _single_key(cfg.get("matcher", {"KDTreeMatcher": {"knn": 1}}),
+                              "matcher")
+        if name != "KDTreeMatcher":
+            raise ValueError(f"unknown matcher '{name}'")
+        # epsilon is the kd-tree approximation tolerance; brute force is exact
+        self.match_knn = int(p.pop("knn", 1))
+        self.match_max_dist = float(p.pop("maxDist", np.inf))
+        p.pop("epsilon", None)
+        p.pop("searchType", None)
+        if p:
+            raise ValueError(f"KDTreeMatcher: unknown params {sorted(p)}")
+
+        self.outlier_filters = []
+        for entry in cfg.get("outlierFilters") or []:
+            name, p = _single_key(entry, "outlierFilters")
+            if name == "TrimmedDistOutlierFilter":
+                self.outlier_filters.append(("trimmed", float(p.get("ratio", 0.85))))
+            elif name == "MaxDistOutlierFilter":
+                self.outlier_filters.append(("maxdist", float(p["maxDist"])))
+            elif name == "MedianDistOutlierFilter":
+                self.outlier_filters.append(("median", float(p.get("factor", 3.0))))
+            elif name == "SurfaceNormalOutlierFilter":
+                self.outlier_filters.append(("normal", float(p.get("maxAngle", 1.57))))
+            else:
+                raise ValueError(f"unknown outlier filter '{name}'")
+
+        name, p = _single_key(cfg.get("errorMinimizer", "PointToPlaneErrorMinimizer"),
+                              "errorMinimizer")
+        if name not in ("PointToPlaneErrorMinimizer", "PointToPointErrorMinimizer",
+                        "IdentityErrorMinimizer"):
+            raise ValueError(f"unknown errorMinimizer '{name}'")
+        self.minimizer = name
+        self.force_2d = bool(p.pop("force2D", 0)) if p else False
+
+        self.max_iter = 40
+        self.diff_checker = None  # (minDiffTrans, minDiffRot, smoothLength)
+        self.bound_checker = None  # (maxRotationNorm, maxTranslationNorm)
+        for entry in cfg.get("transformationCheckers") or [
+                {"CounterTransformationChecker": {"maxIterationCount": 40}}]:
+            name, p = _single_key(entry, "transformationCheckers")
+            if name == "CounterTransformationChecker":
+                self.max_iter = int(p.get("maxIterationCount", 40))
+            elif name == "DifferentialTransformationChecker":
+                self.diff_checker = (
+                    float(p.get("minDiffTransErr", 0.001)),
+                    float(p.get("minDiffRotErr", 0.001)),
+                    int(p.get("smoothLength", 4)),
+                )
+            elif name == "BoundTransformationChecker":
+                self.bound_checker = (
+                    float(p.get("maxRotationNorm", 1.0)),
+                    float(p.get("maxTranslationNorm", 1.0)),
+                )
+            else:
+                raise ValueError(f"unknown transformation checker '{name}'")
+
+        insp = cfg.get("inspector", "NullInspector")
+        iname, _ = _single_key(insp, "inspector")
+        if iname not in ("NullInspector", "PerformanceInspector"):
+            raise ValueError(f"unknown inspector '{iname}' "
+                             "(VTKFileInspector: use mapper tracing instead)")
+        self._solve_cache.clear()
+
+    # -------------------------------------------------------------- state
+    def set_map(self, ref: PointBatch):
+        """lpm ``ICPSequence::setMap``: store (and reference-filter) the map.
+
+        The reference rebuilds its kd-tree here (``Map.cpp:527-529``); we
+        just keep the filtered padded arrays — correspondence is tiled brute
+        force so there is nothing to build.
+        """
+        if len(self.reference_filters):
+            ref = self.reference_filters.apply(ref)
+        self._ref = ref
+
+    def has_map(self) -> bool:
+        return self._ref is not None
+
+    def clear_map(self):
+        self._ref = None
+
+    # -------------------------------------------------------------- solve
+    def __call__(self, reading: PointBatch,
+                 key: Optional[jax.Array] = None) -> ICPResult:
+        """Register ``reading`` (already in map frame) against the stored map.
+
+        Returns the correction transform, like lpm's ``icp(input)``
+        (``Mapper.cpp:213``).
+        """
+        if self._ref is None:
+            raise RuntimeError("ICPEngine: set_map() before calling")
+        if len(self.reading_filters):
+            reading = self.reading_filters.apply(reading, key)
+        ref = self._ref
+        need_normals = self.minimizer == "PointToPlaneErrorMinimizer" or any(
+            kind == "normal" for kind, _ in self.outlier_filters)
+        if need_normals and "normals" not in ref.descriptors:
+            raise ValueError(
+                "PointToPlaneErrorMinimizer requires 'normals' on the map; "
+                "add SurfaceNormalDataPointsFilter to referenceDataPointsFilters "
+                "or the mapper post filters")
+        ref_normals = ref.descriptors.get(
+            "normals", jnp.zeros_like(ref.positions))
+        solve = self._get_solve(reading.capacity, ref.capacity)
+        correction, overlap, iters, resid = solve(
+            reading.positions, reading.mask, ref.positions, ref_normals,
+            ref.mask)
+        return ICPResult(correction, overlap, iters, resid)
+
+    # ---------------------------------------------------------- internals
+    def _get_solve(self, n_cap: int, m_cap: int):
+        key = (n_cap, m_cap, self.dim)
+        if key not in self._solve_cache:
+            self._solve_cache[key] = jax.jit(
+                functools.partial(_icp_solve,
+                                  dim=self.dim,
+                                  k=self.match_knn,
+                                  max_dist=self.match_max_dist,
+                                  outlier_filters=tuple(self.outlier_filters),
+                                  minimizer=self.minimizer,
+                                  max_iter=self.max_iter,
+                                  diff_checker=self.diff_checker,
+                                  bound_checker=self.bound_checker),
+                static_argnames=())
+        return self._solve_cache[key]
+
+
+# --------------------------------------------------------------------------
+# the jitted solve
+# --------------------------------------------------------------------------
+
+def _rot_angle(R: jax.Array) -> jax.Array:
+    d = R.shape[0]
+    if d == 2:
+        return jnp.abs(jnp.arctan2(R[1, 0], R[0, 0]))
+    c = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    return jnp.arccos(c)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dim", "k", "max_dist", "outlier_filters", "minimizer", "max_iter",
+    "diff_checker", "bound_checker"))
+def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask, *,
+               dim, k, max_dist, outlier_filters, minimizer, max_iter,
+               diff_checker, bound_checker):
+    """One fused ICP registration: while_loop{ match → weight → minimize }."""
+    f32 = jnp.float32
+    hdim = dim + 1
+    n_valid_read = jnp.maximum(jnp.sum(read_mask.astype(f32)), 1.0)
+    max_radius = None if not np.isfinite(max_dist) else f32(max_dist)
+
+    smooth_len = diff_checker[2] if diff_checker else 1
+
+    def match_and_weigh(T):
+        p = se3.apply_points(T, read_pos)  # [N, D]
+        d2, idx = knn(p, ref_pos, read_mask, ref_mask, k=k,
+                      max_radius=max_radius)
+        w = (idx >= 0).astype(f32)  # [N, k]
+        for kind, param in outlier_filters:
+            if kind == "trimmed":
+                # keep `ratio` fraction of pairs with smallest distance —
+                # lpm TrimmedDistOutlierFilter
+                d2_flat = jnp.where(w > 0, d2, jnp.inf).reshape(-1)
+                n_pairs = jnp.maximum(jnp.sum(w), 1.0)
+                srt = jnp.sort(d2_flat)
+                cut_idx = jnp.clip((param * n_pairs).astype(jnp.int32) - 1,
+                                   0, d2_flat.shape[0] - 1)
+                thr = srt[cut_idx]
+                w = w * (d2 <= thr)
+            elif kind == "maxdist":
+                w = w * (d2 <= param * param)
+            elif kind == "median":
+                d2_flat = jnp.where(w > 0, d2, jnp.nan).reshape(-1)
+                med = jnp.nanmedian(d2_flat)
+                w = w * (d2 <= param * param * med)
+            elif kind == "normal":
+                # angle between reading ray and ref normal below maxAngle
+                q_n = ref_norm[jnp.maximum(idx, 0)]  # [N, k, D]
+                pdir = p / jnp.maximum(
+                    jnp.linalg.norm(p, axis=1, keepdims=True), 1e-9)
+                cosang = jnp.abs(jnp.einsum("nd,nkd->nk", pdir, q_n))
+                w = w * (jnp.arccos(jnp.clip(cosang, 0, 1)) <= param)
+        q = ref_pos[jnp.maximum(idx, 0)]  # [N, k, D]
+        qn = ref_norm[jnp.maximum(idx, 0)]
+        matched = jnp.any(idx >= 0, axis=1) & read_mask
+        overlap = jnp.sum(matched.astype(f32)) / n_valid_read
+        return p, q, qn, w, overlap
+
+    def minimize(p, q, qn, w):
+        """Return the incremental transform aligning weighted pairs."""
+        if minimizer == "IdentityErrorMinimizer":
+            return jnp.eye(hdim, dtype=f32), f32(0.0)
+        wsum = jnp.maximum(jnp.sum(w), 1e-9)
+        if minimizer == "PointToPlaneErrorMinimizer":
+            r = jnp.einsum("nkd,nkd->nk", qn, p[:, None, :] - q)  # [N, k]
+            if dim == 3:
+                cx = jnp.cross(jnp.broadcast_to(p[:, None, :], q.shape), qn)
+                J = jnp.concatenate([qn, cx], axis=-1)  # [N, k, 6]
+                dof = 6
+            else:
+                cross2 = (p[:, None, 0] * qn[..., 1] - p[:, None, 1] * qn[..., 0])
+                J = jnp.concatenate([qn, cross2[..., None]], axis=-1)  # [N,k,3]
+                dof = 3
+            Jf = J.reshape(-1, dof)
+            rf = r.reshape(-1)
+            wf = w.reshape(-1)
+            # normal equations on the MXU; this is the quantity psum-reduced
+            # across shards in the distributed path (parallel/distributed.py)
+            JtJ = (Jf * wf[:, None]).T @ Jf
+            Jtr = (Jf * wf[:, None]).T @ rf
+            JtJ = JtJ + 1e-6 * jnp.eye(dof, dtype=f32)
+            dx = -jnp.linalg.solve(JtJ, Jtr)
+            dT = se3.exp_se3(dx) if dim == 3 else se3.exp_se2(dx)
+            rms = jnp.sqrt(jnp.sum(wf * rf * rf) / wsum)
+            return dT, rms
+        # PointToPoint: weighted Kabsch via SVD
+        wk = w[..., None]
+        mu_p = jnp.sum(wk * p[:, None, :], axis=(0, 1)) / wsum
+        mu_q = jnp.sum(wk * q, axis=(0, 1)) / wsum
+        P = (p[:, None, :] - mu_p) * wk
+        Q = q - mu_q
+        H = jnp.einsum("nkd,nke->nde", P, Q).sum(0)  # [D, D]
+        U, _, Vt = jnp.linalg.svd(H)
+        det = jnp.linalg.det(Vt.T @ U.T)
+        S = jnp.diag(jnp.concatenate(
+            [jnp.ones((dim - 1,), f32), det[None]]))
+        R = Vt.T @ S @ U.T
+        t = mu_q - R @ mu_p
+        dT = jnp.eye(hdim, dtype=f32).at[:dim, :dim].set(R).at[:dim, dim].set(t)
+        diff = p[:, None, :] - q
+        rms = jnp.sqrt(jnp.sum(w * jnp.sum(diff * diff, -1)) / wsum)
+        return dT, rms
+
+    def cond(state):
+        T, it, done, overlap, resid, hist = state
+        return (it < max_iter) & ~done
+
+    def body(state):
+        T, it, done, _, _, hist = state
+        p, q, qn, w, overlap = match_and_weigh(T)
+        dT, rms = minimize(p, q, qn, w)
+        T_new = dT @ T
+        new_done = jnp.array(minimizer == "IdentityErrorMinimizer")
+        # differential checker: rolling window of increment magnitudes
+        dtrans = jnp.linalg.norm(dT[:dim, dim])
+        drot = _rot_angle(dT[:dim, :dim])
+        hist = jnp.roll(hist, 1, axis=0).at[0].set(jnp.array([dtrans, drot]))
+        if diff_checker is not None:
+            min_t, min_r, _ = diff_checker
+            means = jnp.mean(hist, axis=0)
+            warmed = it + 1 >= smooth_len
+            new_done = new_done | (warmed & (means[0] < min_t) & (means[1] < min_r))
+        if bound_checker is not None:
+            max_rot, max_trans = bound_checker
+            # bound is on the total transform so far
+            new_done = new_done | (
+                (_rot_angle(T_new[:dim, :dim]) > max_rot)
+                | (jnp.linalg.norm(T_new[:dim, dim]) > max_trans))
+        return (T_new, it + 1, new_done, overlap, rms, hist)
+
+    hist0 = jnp.full((smooth_len, 2), jnp.inf, f32)
+    state0 = (jnp.eye(hdim, dtype=f32), jnp.int32(0), jnp.array(False),
+              f32(0.0), f32(0.0), hist0)
+    T, iters, _, overlap, resid, _ = jax.lax.while_loop(cond, body, state0)
+    return T, overlap, iters, resid

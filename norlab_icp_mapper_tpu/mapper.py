@@ -1,0 +1,297 @@
+"""Mapper facade: config load, input filtering, ICP, update policy, bookkeeping.
+
+Parity with reference ``Mapper.{h,cpp}``:
+
+  - ctor ``(config, is_3d, is_online, is_mapping, save_cells_on_hard_drive)``
+    (``Mapper.h:53-54``)
+  - strict YAML schema ``{icp, input, post, mapper}`` with duplicate/unknown
+    key rejection and range checks (``Mapper.cpp:35-57,69,104-146``)
+  - ``apply_input_filters`` = always-on radius filter (DistanceLimit at
+    sensorMaxRange, built after config load — ``Mapper.cpp:25-31``) + input
+    chain (``Mapper.cpp:187-191``)
+  - ``process_input`` hot path (``Mapper.cpp:194-238``): transform scan to map
+    frame with the pose prior, ICP correction, conditional map update
+    (distance / overlap / delay policy, ``Mapper.cpp:240-272``), pose +
+    trajectory bookkeeping
+  - defaults when config sections are missing: distance condition 1.0 m,
+    PointDistanceMapperModule(minDistNewPoint=0.15) (``Mapper.cpp:330-348``)
+
+Online mode runs the map merge on a single-worker executor so registration
+continues while the merge is in flight (the reference's ``std::async`` future,
+``Mapper.cpp:280-287``); JAX async dispatch gives the same overlap on device.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+from typing import Any, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from . import se3
+from .points import PointBatch
+from .filters.core import FilterChain, filter_registry
+from .icp.engine import ICPEngine
+from .map import Map
+from .mapper_modules.core import mapper_module_registry
+from .trajectory import Trajectory
+
+__all__ = ["Mapper"]
+
+DEFAULT_MAP_UPDATE_CONDITION = "distance"  # reference Mapper.h
+DEFAULT_MAP_UPDATE_DISTANCE = 1.0
+
+
+class _UniqueKeyLoader(yaml.SafeLoader):
+    """YAML loader that rejects duplicate keys (reference
+    ``validateYamlKeys``, ``Mapper.cpp:44-50``; PyYAML silently keeps the
+    last duplicate otherwise)."""
+
+    def construct_mapping(self, node, deep=False):
+        seen = set()
+        for key_node, _ in node.value:
+            key = self.construct_object(key_node, deep=deep)
+            if key in seen:
+                raise yaml.YAMLError(
+                    f"Duplicated key: {key} (line {key_node.start_mark.line + 1})")
+            seen.add(key)
+        return super().construct_mapping(node, deep)
+
+
+class Mapper:
+    def __init__(self, config: Union[str, Dict[str, Any], None],
+                 is_3d: bool = True, is_online: bool = False,
+                 is_mapping: bool = True,
+                 save_map_cells_on_hard_drive: bool = False,
+                 seed: int = 0):
+        self.is_3d = is_3d
+        self.dim = 3 if is_3d else 2
+        self.is_online = is_online
+        self.is_mapping = is_mapping
+        self.icp = ICPEngine(config=None, dim=self.dim)
+        self.map = Map(is_3d, is_online, save_map_cells_on_hard_drive, self.icp)
+        self.trajectory = Trajectory(3 if is_3d else 2)
+        self.pose: Optional[np.ndarray] = None
+        self._key = jax.random.PRNGKey(seed)
+
+        self.map_update_condition = DEFAULT_MAP_UPDATE_CONDITION
+        self.map_update_distance = DEFAULT_MAP_UPDATE_DISTANCE
+        self.map_update_overlap = 0.9
+        self.map_update_delay = 1.0
+        self.last_time_map_was_updated = -np.inf  # ns
+        self.last_pose_where_map_was_updated = np.eye(self.dim + 1, dtype=np.float32)
+        self.overlap = 0.0
+
+        self.input_filters = FilterChain([])
+        self.post_filters = FilterChain([])
+        self.load_config(config)
+
+        # the radius filter is built AFTER config load so it picks up the
+        # configured sensorMaxRange (reference Mapper.cpp:25-31)
+        self.radius_filter = filter_registry.create(
+            "DistanceLimitDataPointsFilter",
+            {"dim": -1, "dist": self.map.get_sensor_max_range(),
+             "removeInside": 0})
+
+        self._map_update_future: Optional[concurrent.futures.Future] = None
+        self._executor = (
+            concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            if is_online else None)
+
+    # ----------------------------------------------------------------- config
+    def load_config(self, config: Union[str, Dict[str, Any], None]):
+        """Reference ``loadYamlConfig`` (``Mapper.cpp:59-185``)."""
+        if config is None:
+            node: Dict[str, Any] = {}
+        elif isinstance(config, str):
+            try:
+                with open(config) as f:
+                    node = yaml.load(f, Loader=_UniqueKeyLoader) or {}
+            except FileNotFoundError:
+                raise RuntimeError(
+                    f"The input config file {config} does not exist")
+        else:
+            node = dict(config)
+
+        valid = {"icp", "input", "post", "mapper"}
+        for k in node:
+            if k not in valid:
+                raise ValueError(f"Invalid key: {k}")
+
+        if "icp" in node and node["icp"] is not None:
+            self.icp.load_config(node["icp"])
+        else:
+            print("icp config not found, using default")
+            self.icp.set_default()
+
+        if "input" in node and node["input"] is not None:
+            self.input_filters = FilterChain.from_yaml(node["input"])
+        else:
+            print("Input config not found, using empty configuration.")
+            self.input_filters = FilterChain([])
+
+        if "post" in node and node["post"] is not None:
+            self.post_filters = FilterChain.from_yaml(node["post"])
+        else:
+            print("Post config not found, using empty configuration.")
+            self.post_filters = FilterChain([])
+
+        if "mapper" in node and node["mapper"] is not None:
+            mnode = node["mapper"]
+            for k in mnode:
+                if k not in ("updateCondition", "sensorMaxRange", "mapperModule"):
+                    raise ValueError(f"Invalid key: {k}")
+            if "updateCondition" in mnode:
+                uc = mnode["updateCondition"]
+                for k in uc:
+                    if k not in ("type", "value"):
+                        raise ValueError(f"Invalid key: {k}")
+                if "type" not in uc:
+                    raise ValueError("Missing key: type")
+                if "value" not in uc:
+                    raise ValueError("Missing key: value")
+                cond = str(uc["type"])
+                value = float(uc["value"])
+                if cond == "distance":
+                    if value < 0:
+                        raise ValueError(f"Invalid map update distance: {value}")
+                    self.map_update_distance = value
+                elif cond == "overlap":
+                    if value < 0 or value > 1:
+                        raise ValueError(f"Invalid map update overlap: {value}")
+                    self.map_update_overlap = value
+                elif cond == "delay":
+                    if value < 0:
+                        raise ValueError(f"Invalid map update delay: {value}")
+                    self.map_update_delay = value
+                else:
+                    raise ValueError(f"Invalid map update condition: {cond}")
+                self.map_update_condition = cond
+            else:
+                print("Mapper update condition not found, using default configuration.")
+                self._set_default_map_update_config()
+            if "sensorMaxRange" in mnode:
+                smr = float(mnode["sensorMaxRange"])
+                if smr < 0:
+                    raise ValueError(f"Invalid sensor max range: {smr}")
+                self.map.set_sensor_max_range(smr)
+            if "mapperModule" in mnode:
+                for entry in mnode["mapperModule"]:
+                    self.map.add_mapper_module(
+                        mapper_module_registry.create_from_yaml_entry(entry))
+            else:
+                print("mapper module not found, using default")
+                self._set_default_mapper_module()
+        else:
+            print("mapper config not found, using default")
+            self._set_default_map_update_config()
+            self._set_default_mapper_module()
+
+    def _set_default_map_update_config(self):
+        self.map_update_condition = DEFAULT_MAP_UPDATE_CONDITION
+        self.map_update_distance = DEFAULT_MAP_UPDATE_DISTANCE
+
+    def _set_default_mapper_module(self):
+        # reference Mapper.cpp:330-336
+        self.map.add_mapper_module(mapper_module_registry.create(
+            "PointDistanceMapperModule", {"minDistNewPoint": 0.15}))
+
+    # -------------------------------------------------------------- hot path
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def apply_input_filters(self, scan: PointBatch) -> PointBatch:
+        """Reference ``Mapper.cpp:187-191`` (scan in sensor frame)."""
+        scan = self.radius_filter.apply(scan)
+        return self.input_filters.apply(scan, self._next_key())
+
+    def process_input(self, filtered_scan_in_sensor_frame: PointBatch,
+                      estimated_pose: np.ndarray, timestamp_ns: int) -> None:
+        """Reference ``Mapper.cpp:194-238``."""
+        estimated_pose = np.asarray(estimated_pose, dtype=np.float32)
+        pose_j = jnp.asarray(estimated_pose)
+        scan = se3.apply(pose_j, filtered_scan_in_sensor_frame)
+
+        if self.map.is_local_point_cloud_empty():
+            corrected = estimated_pose
+            self.map.update_pose(corrected)
+            self._update_map(scan, corrected, timestamp_ns)
+        else:
+            result = self.icp(scan, key=self._next_key())
+            correction = np.asarray(result.correction)
+            self.overlap = float(result.overlap)
+            corrected = correction @ estimated_pose
+            self.map.update_pose(corrected)
+            if self._should_update_map(timestamp_ns, corrected, self.overlap):
+                corrected_scan = se3.apply(jnp.asarray(correction), scan)
+                self._update_map(corrected_scan, corrected, timestamp_ns)
+
+        if (self._map_update_future is not None
+                and self._map_update_future.done()):
+            self._map_update_future.result()
+            self._map_update_future = None
+
+        self.pose = np.asarray(corrected)
+        self.trajectory.add_pose(self.pose, timestamp_ns)
+
+    def _should_update_map(self, now_ns: int, current_pose: np.ndarray,
+                           overlap: float) -> bool:
+        """Reference ``Mapper.cpp:240-272``."""
+        if not self.is_mapping:
+            return False
+        if self.is_online and self._map_update_future is not None \
+                and not self._map_update_future.done():
+            return False
+        if self.map_update_condition == "overlap":
+            return overlap < self.map_update_overlap
+        if self.map_update_condition == "delay":
+            return (now_ns - self.last_time_map_was_updated) \
+                > self.map_update_delay * 1e9
+        d = self.dim
+        last = self.last_pose_where_map_was_updated[:d, d]
+        cur = current_pose[:d, d]
+        return float(np.linalg.norm(cur - last)) > self.map_update_distance
+
+    def _update_map(self, scan: PointBatch, pose: np.ndarray,
+                    timestamp_ns: int) -> None:
+        """Reference ``Mapper.cpp:274-288``."""
+        self.last_time_map_was_updated = timestamp_ns
+        self.last_pose_where_map_was_updated = np.asarray(pose)
+        key = self._next_key()
+        if self.is_online and not self.map.is_local_point_cloud_empty():
+            self._map_update_future = self._executor.submit(
+                self.map.update_local_point_cloud, scan, pose,
+                self.post_filters, key)
+        else:
+            self.map.update_local_point_cloud(scan, pose, self.post_filters, key)
+
+    # ------------------------------------------------------------- accessors
+    def get_map(self):
+        return self.map.get_global_point_cloud()
+
+    def set_map(self, new_map):
+        self.map.set_global_point_cloud(new_map)
+        self.trajectory.clear()
+
+    def get_new_local_map(self):
+        return self.map.get_new_local_point_cloud()
+
+    def get_pose(self) -> Optional[np.ndarray]:
+        return self.pose
+
+    def get_is_mapping(self) -> bool:
+        return self.is_mapping
+
+    def set_is_mapping(self, value: bool):
+        self.is_mapping = bool(value)
+
+    def get_trajectory(self) -> Trajectory:
+        return self.trajectory
+
+    def shutdown(self):
+        if self._executor is not None:
+            self._executor.shutdown(wait=True)
+        self.map.shutdown()

@@ -1,0 +1,56 @@
+import numpy as np
+import jax.numpy as jnp
+
+from norlab_icp_mapper_tpu.points import PointBatch, bucket_capacity, concatenate
+
+
+def test_bucket_capacity():
+    assert bucket_capacity(1) == 256
+    assert bucket_capacity(256) == 256
+    assert bucket_capacity(257) == 512
+    assert bucket_capacity(41400) == 65536
+
+
+def test_from_numpy_roundtrip(rng):
+    pos = rng.normal(size=(100, 3)).astype(np.float32)
+    desc = {"intensity": rng.normal(size=(100, 1)).astype(np.float32)}
+    b = PointBatch.from_numpy(pos, desc)
+    assert b.capacity == 256
+    assert int(b.count()) == 100
+    out = b.to_numpy()
+    np.testing.assert_allclose(out["positions"], pos)
+    np.testing.assert_allclose(out["intensity"], desc["intensity"])
+
+
+def test_mask_and_compact(rng):
+    pos = rng.normal(size=(10, 3)).astype(np.float32)
+    b = PointBatch.from_numpy(pos)
+    keep = jnp.zeros((b.capacity,), bool).at[:10].set(
+        jnp.asarray([True, False] * 5))
+    b2 = b.with_mask(keep)
+    assert int(b2.count()) == 5
+    c = b2.compact()
+    out = c.to_numpy()["positions"]
+    np.testing.assert_allclose(out, pos[::2])
+    # compacted points occupy the first slots
+    assert bool(c.mask[:5].all()) and not bool(c.mask[5:].any())
+
+
+def test_concatenate_orders_a_then_b(rng):
+    a = PointBatch.from_numpy(rng.normal(size=(5, 3)).astype(np.float32))
+    bpos = rng.normal(size=(7, 3)).astype(np.float32)
+    b = PointBatch.from_numpy(bpos, {"probabilityDynamic": np.full((7, 1), 0.6, np.float32)})
+    c = concatenate(a, b)
+    assert int(c.count()) == 12
+    out = c.to_numpy()
+    np.testing.assert_allclose(out["positions"][5:], bpos)
+    # descriptor union zero-fills the side that lacks it
+    np.testing.assert_allclose(out["probabilityDynamic"][:5], 0.0)
+    np.testing.assert_allclose(out["probabilityDynamic"][5:], 0.6)
+
+
+def test_pad_to_grows(rng):
+    b = PointBatch.from_numpy(rng.normal(size=(10, 3)).astype(np.float32))
+    big = b.pad_to(1024)
+    assert big.capacity == 1024
+    assert int(big.count()) == 10
