@@ -325,10 +325,8 @@ class Map:
         evict = {k: v[inside] for k, v in data.items()}
 
         with self._lock:
-            desc_keep = {k: v for k, v in keep.items()
-                         if k not in ("positions", "times")}
-            self.local = PointBatch.from_numpy(
-                keep["positions"], desc_keep, keep.get("times"))
+            desc_keep = {k: v for k, v in keep.items() if k != "positions"}
+            self.local = PointBatch.from_numpy(keep["positions"], desc_keep)
             self.icp.set_map(self.local)
             for (i, j, k) in self._iter_cells(sr, er, sc, ec, sa, ea) \
                     if (er - sr) < 10**6 else []:
@@ -391,7 +389,7 @@ class Map:
                 npts = p["positions"].shape[0]
                 if n in p:
                     a = p[n]
-                    arrs.append(a if a.ndim > 1 or n == "times" else a[:, None])
+                    arrs.append(a if a.ndim > 1 else a[:, None])
                 else:
                     kdim = next(
                         (pp[n].shape[1] if pp[n].ndim > 1 else 1)
@@ -406,11 +404,9 @@ class Map:
         if isinstance(cloud, PointBatch):
             batch = cloud
         else:
-            desc = {k: v for k, v in cloud.items()
-                    if k not in ("positions", "times")}
+            desc = {k: v for k, v in cloud.items() if k != "positions"}
             batch = PointBatch.from_numpy(
-                np.asarray(cloud["positions"])[:, : self.dim], desc,
-                cloud.get("times"))
+                np.asarray(cloud["positions"])[:, : self.dim], desc)
         with self._lock:
             self.local = batch
             self.icp.set_map(batch)

@@ -10,7 +10,9 @@ XLA, so here a cloud is a *fixed-capacity, validity-masked* pytree:
   - ``mask``       bool[capacity]       (True = real point)
   - ``descriptors`` dict[str, f32[capacity, k]]  (e.g. ``normals`` [C,3],
     ``probabilityDynamic`` [C,1])
-  - ``times``      i64[capacity] nanoseconds (optional; zeros when absent)
+
+Per-point sensor time rides as an ordinary f32 descriptor (``t``); absolute
+nanosecond timestamps live host-side (Trajectory), since JAX x64 is off.
 
 Capacities are bucketed (next power-of-two-ish) so growth is a re-jit
 boundary rather than a per-step recompile.  All device passes (filters,
@@ -56,7 +58,6 @@ class PointBatch:
     positions: jax.Array  # f32[C, dim]
     mask: jax.Array  # bool[C]
     descriptors: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
-    times: Optional[jax.Array] = None  # i64[C] or None
 
     # ---------------------------------------------------------------- meta
     @property
@@ -79,7 +80,6 @@ class PointBatch:
     def from_numpy(
         positions: np.ndarray,
         descriptors: Optional[Dict[str, np.ndarray]] = None,
-        times: Optional[np.ndarray] = None,
         capacity: Optional[int] = None,
     ) -> "PointBatch":
         """Build a padded PointBatch from host arrays of n real points."""
@@ -100,42 +100,32 @@ class PointBatch:
             d = np.zeros((cap, v.shape[1]), dtype=np.float32)
             d[:n] = v
             desc[name] = jnp.asarray(d)
-        t = None
-        if times is not None:
-            tt = np.zeros((cap,), dtype=np.int64)
-            tt[:n] = np.asarray(times, dtype=np.int64)
-            t = jnp.asarray(tt)
-        return PointBatch(jnp.asarray(pos), jnp.asarray(mask), desc, t)
+        return PointBatch(jnp.asarray(pos), jnp.asarray(mask), desc)
 
     @staticmethod
     def empty(capacity: int, dim: int = 3,
-              descriptor_dims: Optional[Dict[str, int]] = None,
-              with_times: bool = False) -> "PointBatch":
+              descriptor_dims: Optional[Dict[str, int]] = None) -> "PointBatch":
         desc = {
             name: jnp.zeros((capacity, k), dtype=jnp.float32)
             for name, k in (descriptor_dims or {}).items()
         }
-        t = jnp.zeros((capacity,), dtype=jnp.int64) if with_times else None
         return PointBatch(
             jnp.zeros((capacity, dim), dtype=jnp.float32),
             jnp.zeros((capacity,), dtype=bool),
             desc,
-            t,
         )
 
     # -------------------------------------------------------------- export
     def to_numpy(self) -> Dict[str, np.ndarray]:
         """Compact to host arrays holding only the valid points.
 
-        Returns dict with 'positions', 'times' (if any) and one entry per
-        descriptor. Order of surviving points is preserved.
+        Returns dict with 'positions' and one entry per descriptor. Order of
+        surviving points is preserved.
         """
         mask = np.asarray(self.mask)
         out = {"positions": np.asarray(self.positions)[mask]}
         for name, v in self.descriptors.items():
             out[name] = np.asarray(v)[mask]
-        if self.times is not None:
-            out["times"] = np.asarray(self.times)[mask]
         return out
 
     # ------------------------------------------------------- functional ops
@@ -164,8 +154,7 @@ class PointBatch:
     def gather(self, idx: jax.Array) -> "PointBatch":
         """Reindex all channels by ``idx`` (mask gathered too)."""
         desc = {k: v[idx] for k, v in self.descriptors.items()}
-        t = self.times[idx] if self.times is not None else None
-        return PointBatch(self.positions[idx], self.mask[idx], desc, t)
+        return PointBatch(self.positions[idx], self.mask[idx], desc)
 
     def pad_to(self, capacity: int) -> "PointBatch":
         """Grow capacity (no-op if already >=). Padded tail is masked out."""
@@ -179,10 +168,7 @@ class PointBatch:
             k: jnp.concatenate([v, jnp.zeros((extra, v.shape[1]), v.dtype)])
             for k, v in self.descriptors.items()
         }
-        t = None
-        if self.times is not None:
-            t = jnp.concatenate([self.times, jnp.zeros((extra,), self.times.dtype)])
-        return PointBatch(pos, mask, desc, t)
+        return PointBatch(pos, mask, desc)
 
     def align_descriptors(self, names, dims) -> "PointBatch":
         """Ensure descriptors ``names`` exist (zero-filled if missing)."""
@@ -211,15 +197,11 @@ def concatenate(a: PointBatch, b: PointBatch, capacity: Optional[int] = None) ->
             dims[n] = b.descriptors[n].shape[1]
     a = a.align_descriptors(names, [dims[n] for n in names])
     b = b.align_descriptors(names, [dims[n] for n in names])
-    with_times = a.times is not None or b.times is not None
-    at = a.times if a.times is not None else jnp.zeros((a.capacity,), jnp.int64)
-    bt = b.times if b.times is not None else jnp.zeros((b.capacity,), jnp.int64)
 
     pos = jnp.concatenate([a.positions, b.positions])
     mask = jnp.concatenate([a.mask, b.mask])
     desc = {n: jnp.concatenate([a.descriptors[n], b.descriptors[n]]) for n in names}
-    t = jnp.concatenate([at, bt]) if with_times else None
-    merged = PointBatch(pos, mask, desc, t).compact()
+    merged = PointBatch(pos, mask, desc).compact()
     if cap >= merged.capacity:
         return merged.pad_to(cap)
     # shrink: keep first `cap` slots (caller guarantees they hold all valid pts)
