@@ -30,10 +30,16 @@ class DataPointsFilter(ParametrizedPlugin):
 
 class FilterChain:
     """Ordered filter pipeline (reference ``DataPointsFilters`` /
-    ``.apply(...)``, ``Mapper.cpp:82,92,189-190``)."""
+    ``.apply(...)``, ``Mapper.cpp:82,92,189-190``).
+
+    The whole chain compiles as ONE XLA program per input shape bucket
+    (``apply`` is jitted) — filters are mask/descriptor edits with static
+    shapes, so XLA fuses the chain into a single fused pass over the cloud.
+    """
 
     def __init__(self, filters=None):
         self.filters = list(filters or [])
+        self._jitted = jax.jit(self._apply_impl)
 
     @staticmethod
     def from_yaml(node) -> "FilterChain":
@@ -45,10 +51,15 @@ class FilterChain:
             [filter_registry.create_from_yaml_entry(e) for e in node])
 
     def apply(self, batch: PointBatch, key: Optional[jax.Array] = None) -> PointBatch:
-        for i, f in enumerate(self.filters):
-            sub = None
-            if key is not None:
-                key, sub = jax.random.split(key)
+        if not self.filters:
+            return batch
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._jitted(batch, key)
+
+    def _apply_impl(self, batch: PointBatch, key: jax.Array) -> PointBatch:
+        for f in self.filters:
+            key, sub = jax.random.split(key)
             batch = f.apply(batch, sub)
         return batch
 

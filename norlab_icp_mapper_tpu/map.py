@@ -136,30 +136,56 @@ class Map:
             return None
 
     # --------------------------------------------------------- merge pipeline
+    def _merge_fns(self, post_filters):
+        """Jitted create/update merge pipelines.
+
+        The whole merge — module chain, sensor-frame post filters, frame
+        transforms — compiles as ONE XLA program per shape bucket instead of
+        hundreds of eager op dispatches (critical on remote-compile TPU
+        backends)."""
+        cache_key = id(post_filters)
+        if getattr(self, "_merge_cache_key", None) != cache_key:
+            modules = self.modules
+
+            def _post(local, pose, key):
+                if post_filters is not None and len(post_filters):
+                    # post filters run in sensor frame (reference Map.cpp:523-525)
+                    pose_inv = se3.inverse(pose)
+                    local = se3.apply(pose_inv, local)
+                    local = post_filters._apply_impl(local, key)
+                    local = se3.apply(pose, local)
+                return local
+
+            def create_fn(scan, pose, key):
+                it = iter(modules)
+                local = next(it).create_map(scan, pose)
+                for m in it:
+                    local = m.update_map(scan, local, pose)
+                return _post(local, pose, key)
+
+            def update_fn(scan, local, pose, key):
+                for m in modules:
+                    local = m.update_map(scan, local, pose)
+                return _post(local, pose, key)
+
+            self._merge_cache_key = cache_key
+            self._merge_create = jax.jit(create_fn)
+            self._merge_update = jax.jit(update_fn)
+        return self._merge_create, self._merge_update
+
     def update_local_point_cloud(self, scan: PointBatch, pose: np.ndarray,
                                  post_filters,
                                  key: Optional[jax.Array] = None) -> None:
         """Reference ``Map.cpp:502-534``."""
         pose_j = jax.numpy.asarray(pose)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        create_fn, update_fn = self._merge_fns(post_filters)
         with self._lock:
             if self.is_local_point_cloud_empty():
-                it = iter(self.modules)
-                first = next(it)
-                local = first.create_map(scan, pose_j)
-                for m in it:
-                    local = m.update_map(scan, local, pose_j)
+                local = create_fn(scan, pose_j, key)
             else:
-                local = self.local
-                for m in self.modules:
-                    local = m.update_map(scan, local, pose_j)
-
-            if post_filters is not None and len(post_filters):
-                # post filters run in sensor frame (reference Map.cpp:523-525)
-                pose_inv = se3.inverse(pose_j)
-                local = se3.apply(pose_inv, local)
-                local = post_filters.apply(local, key)
-                local = se3.apply(pose_j, local)
-
+                local = update_fn(scan, self.local, pose_j, key)
             self.local = local
             self.icp.set_map(local)
             self.new_local_available = True

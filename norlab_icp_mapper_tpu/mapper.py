@@ -89,11 +89,13 @@ class Mapper:
         self.load_config(config)
 
         # the radius filter is built AFTER config load so it picks up the
-        # configured sensorMaxRange (reference Mapper.cpp:25-31)
-        self.radius_filter = filter_registry.create(
+        # configured sensorMaxRange (reference Mapper.cpp:25-31); wrapped in
+        # a chain so it runs as one jitted program
+        self.radius_filter = FilterChain([filter_registry.create(
             "DistanceLimitDataPointsFilter",
             {"dim": -1, "dist": self.map.get_sensor_max_range(),
-             "removeInside": 0})
+             "removeInside": 0})])
+        self._apply_tf = jax.jit(se3.apply)
 
         self._map_update_future: Optional[concurrent.futures.Future] = None
         self._executor = (
@@ -205,7 +207,7 @@ class Mapper:
 
     def apply_input_filters(self, scan: PointBatch) -> PointBatch:
         """Reference ``Mapper.cpp:187-191`` (scan in sensor frame)."""
-        scan = self.radius_filter.apply(scan)
+        scan = self.radius_filter.apply(scan, self._next_key())
         return self.input_filters.apply(scan, self._next_key())
 
     def process_input(self, filtered_scan_in_sensor_frame: PointBatch,
@@ -213,7 +215,7 @@ class Mapper:
         """Reference ``Mapper.cpp:194-238``."""
         estimated_pose = np.asarray(estimated_pose, dtype=np.float32)
         pose_j = jnp.asarray(estimated_pose)
-        scan = se3.apply(pose_j, filtered_scan_in_sensor_frame)
+        scan = self._apply_tf(pose_j, filtered_scan_in_sensor_frame)
 
         if self.map.is_local_point_cloud_empty():
             corrected = estimated_pose
@@ -226,7 +228,7 @@ class Mapper:
             corrected = correction @ estimated_pose
             self.map.update_pose(corrected)
             if self._should_update_map(timestamp_ns, corrected, self.overlap):
-                corrected_scan = se3.apply(jnp.asarray(correction), scan)
+                corrected_scan = self._apply_tf(jnp.asarray(correction), scan)
                 self._update_map(corrected_scan, corrected, timestamp_ns)
 
         if (self._map_update_future is not None
