@@ -131,6 +131,10 @@ class DistributedICP:
 
             init = (jnp.full((p.shape[0],), jnp.inf, jnp.float32),
                     jnp.full((p.shape[0],), -1, jnp.int32))
+            # the carry becomes device-varying once it mixes with the local
+            # map shard; mark it so shard_map's vma check accepts the scan
+            init = jax.tree.map(
+                lambda x: jax.lax.pcast(x, (axis,), to="varying"), init)
             (d2, idx), _ = jax.lax.scan(
                 step, init,
                 (jnp.arange(n_tiles, dtype=jnp.int32), ref_tiles, msk_tiles))
