@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark: full mapping pipeline throughput on the bundled 14-scan example.
+
+Prints ONE JSON line:
+  {"metric": "scans_per_sec_chip", "value": N, "unit": "scans/s",
+   "vs_baseline": N / <reference CPU scans/s>}
+
+Baseline: the reference mapper cannot be built here (no Eigen/libnabo), so
+the yardstick is ``baselines/reference_cpu.py`` — a faithful kd-tree/numpy
+reimplementation of the reference pipeline — measured on this host and
+cached in BASELINE_MEASURED.json (see BASELINE.md: no published numbers
+exist; the baseline must be measured).
+
+The timed region excludes disk IO (scans pre-loaded and pre-staged) and the
+first warm-up pass (XLA compiles are cached); the per-scan loop covers input
+filtering, ICP registration, conditional map merge, and trajectory
+bookkeeping — the same work the reference does per scan.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+DATA = "/root/reference/examples/data"
+CONFIG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "examples", "config.yaml")
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)
+    # measure once (a few minutes on CPU)
+    subprocess.run([sys.executable,
+                    os.path.join("baselines", "reference_cpu.py"), DATA],
+                   check=True, capture_output=True,
+                   cwd=os.path.dirname(os.path.abspath(__file__)))
+    with open(BASELINE_FILE) as f:
+        return json.load(f)
+
+
+def run_pipeline(scans, poses):
+    """One full pass over the dataset; returns (mapper, per-scan seconds)."""
+    from norlab_icp_mapper_tpu import Mapper, PointBatch
+
+    mapper = Mapper(CONFIG, is_3d=True, is_online=False, is_mapping=True,
+                    save_map_cells_on_hard_drive=False)
+    per_scan = []
+    for batch, (pose, stamp) in zip(scans, poses):
+        t0 = time.perf_counter()
+        filtered = mapper.apply_input_filters(batch)
+        mapper.process_input(filtered, pose, stamp)
+        per_scan.append(time.perf_counter() - t0)
+    return mapper, per_scan
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from norlab_icp_mapper_tpu import PointBatch
+    from norlab_icp_mapper_tpu.io import read_vtk, read_trajectory_csv
+
+    scans_dir = os.path.join(DATA, "scans")
+    scan_files = sorted(f for f in os.listdir(scans_dir) if f.endswith(".vtk"))
+    poses = read_trajectory_csv(os.path.join(DATA, "icp_odom.csv"))
+    scans = []
+    for f in scan_files:
+        pos, desc = read_vtk(os.path.join(scans_dir, f))
+        scans.append(PointBatch.from_numpy(pos, desc))
+
+    # warm-up pass compiles everything (cached across runs)
+    run_pipeline(scans, poses)
+    # timed pass
+    mapper, per_scan = run_pipeline(scans, poses)
+    n = len(scans)
+    scans_per_sec = n / sum(per_scan)
+
+    baseline = get_baseline()
+    base = baseline.get("scans_per_sec_cpu", float("nan"))
+    print(json.dumps({
+        "metric": "scans_per_sec_chip",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
