@@ -173,6 +173,33 @@ class Map:
             self._merge_update = jax.jit(update_fn)
         return self._merge_create, self._merge_update
 
+    def _shrink_to_fit(self, local: PointBatch) -> PointBatch:
+        """Re-bucket capacity to the valid point count.
+
+        ``concatenate`` buckets by capacity sums, so without this the map's
+        capacity doubles every merge regardless of the real point count
+        (observed: 1M-slot buffers for an 80k-point map → HBM OOM).  One
+        host sync per merge reads the count; the gather compiles once per
+        (in_cap, out_cap) pair and shapes stabilize after a few scans.
+        """
+        n = int(jax.device_get(local.count()))
+        cap_t = bucket_capacity(n)
+        if cap_t >= local.capacity:
+            return local
+        key = (local.capacity, cap_t,
+               tuple(sorted(local.descriptors)), local.dim)
+        cache = getattr(self, "_shrink_cache", None)
+        if cache is None:
+            cache = self._shrink_cache = {}
+        if key not in cache:
+            import jax.numpy as jnp
+
+            def shrink(b):
+                return b.compact().gather(jnp.arange(cap_t))
+
+            cache[key] = jax.jit(shrink)
+        return cache[key](local)
+
     def update_local_point_cloud(self, scan: PointBatch, pose: np.ndarray,
                                  post_filters,
                                  key: Optional[jax.Array] = None) -> None:
@@ -186,6 +213,7 @@ class Map:
                 local = create_fn(scan, pose_j, key)
             else:
                 local = update_fn(scan, self.local, pose_j, key)
+            local = self._shrink_to_fit(local)
             self.local = local
             self.icp.set_map(local)
             self.new_local_available = True
