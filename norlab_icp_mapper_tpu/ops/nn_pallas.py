@@ -1,0 +1,165 @@
+"""Pallas TPU kernel for tiled brute-force KNN.
+
+Same contract as ``ops/nn.py`` (the XLA oracle), engineered for the TPU
+memory hierarchy: the [TQ, TR] distance block lives in VMEM and the running
+top-k per query is maintained by k rounds of min-extraction — no sort, no
+HBM round-trips for intermediates (the XLA path materializes [N, T+k]
+concat+top_k per tile in HBM, which dominates its runtime).
+
+Layout: positions are fed PLANAR — ``[8, N]`` f32 with rows 0..D-1 holding
+coordinates (sublane-padded to 8) — so the cross-term matmul
+``R_tile^T @ Q_tile`` has its contraction on the (padded) sublane axis and
+the [TR, TQ] block lands MXU/VPU-aligned with queries on lanes.  Invalid
+points carry coordinates ``BIG`` (1e9), pushing their distances out of range
+instead of needing a mask operand.
+
+Grid: (query tiles, ref tiles), ref-major iteration accumulating into the
+per-query-tile output block (revisited across the ref axis, standard matmul
+accumulation pattern).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["knn_pallas", "planarize"]
+
+BIG = 1.0e9  # coordinate sentinel for invalid points
+_HUGE = 1.0e30  # distance sentinel inside the kernel
+
+
+def planarize(points: jax.Array, mask: Optional[jax.Array],
+              n_pad: int) -> jax.Array:
+    """[N, D] + mask -> planar [8, n_pad] with invalid coords = BIG."""
+    n, d = points.shape
+    if mask is not None:
+        pts = jnp.where(mask[:, None], points, BIG)
+    else:
+        pts = points
+    out = jnp.full((8, n_pad), BIG, jnp.float32)
+    out = out.at[:d, :n].set(pts.T)
+    # zero the unused coordinate rows so they don't affect distances
+    out = out.at[d:, :].set(0.0)
+    # re-poison invalid/padded columns in the coordinate rows only
+    return out
+
+
+def _kernel(q_ref, r_ref, d_out, i_out, *, k, tq, tr, dim):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        d_out[:, :] = jnp.full((k, tq), _HUGE, jnp.float32)
+        i_out[:, :] = jnp.full((k, tq), -1, jnp.int32)
+
+    q = q_ref[:dim, :]  # [D, TQ]
+    r = r_ref[:dim, :]  # [D, TR]
+    q2 = jnp.sum(q * q, axis=0)  # [TQ]
+    r2 = jnp.sum(r * r, axis=0)  # [TR]
+    cross = jax.lax.dot_general(
+        r, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [TR, TQ]
+    d2 = r2[:, None] + q2[None, :] - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)
+    # pairs touching an invalid point have d2 ~ BIG^2 (~1e18); clamp to the
+    # sentinel so the merge never reports them as matches (real d2 stays far
+    # below 1e15 for any sane coordinate range)
+    d2 = jnp.where(d2 >= 1.0e15, _HUGE, d2)
+
+    base = j * tr
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, tq), 0) + base
+
+    cat_d = jnp.concatenate([d2, d_out[:, :]], axis=0)  # [TR+K, TQ]
+    cat_i = jnp.concatenate([row_ids, i_out[:, :]], axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tr + k, tq), 0)
+
+    new_d = jnp.zeros((k, tq), jnp.float32)
+    new_i = jnp.zeros((k, tq), jnp.int32)
+    for t in range(k):
+        m = jnp.min(cat_d, axis=0)  # [TQ]
+        a = jnp.argmin(cat_d, axis=0).astype(jnp.int32)  # [TQ]
+        sel = rows == a[None, :]
+        isel = jnp.sum(jnp.where(sel, cat_i, 0), axis=0)
+        new_d = new_d.at[t, :].set(m)
+        new_i = new_i.at[t, :].set(jnp.where(m >= _HUGE, -1, isel))
+        cat_d = jnp.where(sel, _HUGE, cat_d)
+
+    d_out[:, :] = new_d
+    i_out[:, :] = new_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "dim"))
+def _knn_planar(qp, rp, *, k, tq, tr, dim):
+    n_pad = qp.shape[1]
+    m_pad = rp.shape[1]
+    grid = (n_pad // tq, m_pad // tr)
+    kern = functools.partial(_kernel, k=k, tq=tq, tr=tr, dim=dim)
+    d, i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tq), lambda i_, j_: (0, i_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tr), lambda i_, j_: (0, j_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, tq), lambda i_, j_: (0, i_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tq), lambda i_, j_: (0, i_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k, n_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * (dim + 4 * k),
+            bytes_accessed=8 * (n_pad + m_pad) * 4 + 2 * k * n_pad * 4,
+            transcendentals=0,
+        ),
+    )(qp, rp)
+    return d, i
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def knn_pallas(
+    query: jax.Array,  # f32[N, D]
+    ref: jax.Array,  # f32[M, D]
+    query_mask: Optional[jax.Array] = None,
+    ref_mask: Optional[jax.Array] = None,
+    k: int = 1,
+    max_radius: Optional[float] = None,
+    tq: int = 1024,
+    tr: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in replacement for ``ops.nn.knn`` running as a Pallas kernel.
+
+    Returns ``(dists2 f32[N, k], idx i32[N, k])``, inf/-1 for no-match.
+    """
+    n, dim = query.shape
+    m = ref.shape[0]
+    n_pad = _round_up(max(n, tq), tq)
+    m_pad = _round_up(max(m, tr), tr)
+    qp = planarize(query, query_mask, n_pad)
+    rp = planarize(ref, ref_mask, m_pad)
+    d, i = _knn_planar(qp, rp, k=k, tq=tq, tr=tr, dim=dim)
+    d = d[:, :n].T  # [N, k]
+    i = i[:, :n].T
+    valid = (d < _HUGE * 0.5) & (i >= 0)
+    if max_radius is not None:
+        valid = valid & (d <= max_radius * max_radius)
+    if query_mask is not None:
+        valid = valid & query_mask[:, None]
+    d = jnp.where(valid, d, jnp.inf)
+    i = jnp.where(valid, i, -1)
+    return d, i
