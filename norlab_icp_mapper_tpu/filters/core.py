@@ -19,6 +19,7 @@ from ..points import PointBatch
 from ..registry import Param, ParametrizedPlugin, Registry
 from ..ops.nn import knn
 from ..ops.voxel import voxel_select
+from ..ops.eigen import sym_eig3_smallest, sym_eig2_smallest
 
 filter_registry = Registry("DataPointsFilter")
 
@@ -258,11 +259,14 @@ class SurfaceNormalFilter(DataPointsFilter):
         mean = jnp.sum(neigh * w, axis=1) / cnt
         centered = (neigh - mean[:, None, :]) * w
         cov = jnp.einsum("nkd,nke->nde", centered, centered) / cnt[..., None]
-        # batched symmetric eigendecomposition; ascending eigenvalues
-        evals, evecs = jnp.linalg.eigh(cov)
+        # closed-form symmetric eigensolve (ops/eigen.py) — iterative
+        # batched eigh is ~10x slower on TPU for [N, 3, 3]
+        if batch.dim == 3:
+            evals, normals = sym_eig3_smallest(cov)
+        else:
+            evals, normals = sym_eig2_smallest(cov)
         out = batch
         if self.params["keepNormals"] >= 0.5:
-            normals = evecs[:, :, 0]  # smallest-eigenvalue eigenvector
             out = out.with_descriptor("normals", normals)
         if self.params["keepDensities"] >= 0.5:
             # lpm: density = knn / volume of knn-ball
