@@ -64,7 +64,8 @@ def _kernel(q_ref, r_ref, d_out, i_out, *, k, tq, tr, dim):
     r2 = jnp.sum(r * r, axis=0)  # [TR]
     cross = jax.lax.dot_general(
         r, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [TR, TQ]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [TR, TQ], full f32 (see nn.py)
     d2 = r2[:, None] + q2[None, :] - 2.0 * cross
     d2 = jnp.maximum(d2, 0.0)
     # pairs touching an invalid point have d2 ~ BIG^2 (~1e18); clamp to the
@@ -79,19 +80,20 @@ def _kernel(q_ref, r_ref, d_out, i_out, *, k, tq, tr, dim):
     cat_i = jnp.concatenate([row_ids, i_out[:, :]], axis=0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tr + k, tq), 0)
 
-    new_d = jnp.zeros((k, tq), jnp.float32)
-    new_i = jnp.zeros((k, tq), jnp.int32)
+    d_rows = []
+    i_rows = []
     for t in range(k):
         m = jnp.min(cat_d, axis=0)  # [TQ]
         a = jnp.argmin(cat_d, axis=0).astype(jnp.int32)  # [TQ]
         sel = rows == a[None, :]
         isel = jnp.sum(jnp.where(sel, cat_i, 0), axis=0)
-        new_d = new_d.at[t, :].set(m)
-        new_i = new_i.at[t, :].set(jnp.where(m >= _HUGE, -1, isel))
-        cat_d = jnp.where(sel, _HUGE, cat_d)
+        d_rows.append(m[None, :])
+        i_rows.append(jnp.where(m >= _HUGE, -1, isel)[None, :])
+        if t + 1 < k:
+            cat_d = jnp.where(sel, _HUGE, cat_d)
 
-    d_out[:, :] = new_d
-    i_out[:, :] = new_i
+    d_out[:, :] = jnp.concatenate(d_rows, axis=0)
+    i_out[:, :] = jnp.concatenate(i_rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "dim"))
