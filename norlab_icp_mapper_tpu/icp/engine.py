@@ -32,6 +32,13 @@ from .. import se3
 from ..points import PointBatch
 from ..filters.core import FilterChain
 from ..ops.nn import knn
+from ..ops.gridhash import build_grid, grid_hash_knn
+
+# spatial-hash sizing for the matcher (table is [H, C] i32; candidates per
+# query = 27*C). lpm's example matcher runs with epsilon=1 — an explicit
+# approximate-NN license — so a bucket cap is within reference semantics.
+_GH_H = 1 << 15
+_GH_C = 128
 
 __all__ = ["ICPEngine", "ICPResult"]
 
@@ -259,10 +266,23 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask, *,
 
     smooth_len = diff_checker[2] if diff_checker else 1
 
+    # radius-capped matcher -> spatial hash (built once per solve; the map
+    # is fixed across ICP iterations, queries move). Unbounded -> brute force.
+    if max_radius is not None:
+        gh_table, _ = build_grid(ref_pos, ref_mask, max_radius,
+                                 H=_GH_H, C=_GH_C)
+    else:
+        gh_table = None
+
     def match_and_weigh(T):
         p = se3.apply_points(T, read_pos)  # [N, D]
-        d2, idx = knn(p, ref_pos, read_mask, ref_mask, k=k,
-                      max_radius=max_radius)
+        if gh_table is not None:
+            d2, idx = grid_hash_knn(p, ref_pos, gh_table, max_radius,
+                                    query_mask=read_mask, k=k,
+                                    max_radius=max_radius, H=_GH_H, C=_GH_C)
+        else:
+            d2, idx = knn(p, ref_pos, read_mask, ref_mask, k=k,
+                          max_radius=max_radius)
         w = (idx >= 0).astype(f32)  # [N, k]
         for kind, param in outlier_filters:
             if kind == "trimmed":
