@@ -336,7 +336,13 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask, *,
             # across shards in the distributed path (parallel/distributed.py)
             JtJ = (Jf * wf[:, None]).T @ Jf
             Jtr = (Jf * wf[:, None]).T @ rf
-            JtJ = JtJ + 1e-6 * jnp.eye(dof, dtype=f32)
+            # Levenberg-style relative damping: degenerate geometry (e.g. a
+            # corridor, unconstrained along-track) leaves JtJ near-singular;
+            # absolute 1e-6*I lets the pose slide meters along the null
+            # space. Damping at 1e-3 of the mean eigenvalue bounds the
+            # null-space step while biasing constrained directions <0.1%.
+            lam = 1e-3 * jnp.trace(JtJ) / dof + 1e-6
+            JtJ = JtJ + lam * jnp.eye(dof, dtype=f32)
             dx = -jnp.linalg.solve(JtJ, Jtr)
             dT = se3.exp_se3(dx) if dim == 3 else se3.exp_se2(dx)
             rms = jnp.sqrt(jnp.sum(wf * rf * rf) / wsum)

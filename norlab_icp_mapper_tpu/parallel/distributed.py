@@ -172,7 +172,9 @@ class DistributedICP:
                     axis)
                 Jtr = jax.lax.psum(Jw.T @ r, axis)
                 wsum = jax.lax.psum(jnp.sum(w), axis)
-                JtJ = JtJ + 1e-6 * jnp.eye(dof, dtype=jnp.float32)
+                # relative damping — see icp/engine.py minimize()
+                lam = 1e-3 * jnp.trace(JtJ) / dof + 1e-6
+                JtJ = JtJ + lam * jnp.eye(dof, dtype=jnp.float32)
                 dx = -jnp.linalg.solve(JtJ, Jtr)
                 dT = se3.exp_se3(dx) if dim == 3 else se3.exp_se2(dx)
                 overlap = jax.lax.psum(

@@ -1,0 +1,108 @@
+"""Rolling-window cell eviction/reload (reference Map.cpp:246-460) and
+online-mode async behavior."""
+import numpy as np
+import pytest
+
+from norlab_icp_mapper_tpu import Mapper, PointBatch
+from norlab_icp_mapper_tpu.map import CELL_SIZE, BUFFER_SIZE
+from tests.test_mapper_e2e import BASE_CONFIG, pose_at
+
+
+def corridor_world(rng, length=300.0, n=4000):
+    x = rng.uniform(0, length, size=(n,)).astype(np.float32)
+    y = rng.uniform(-3, 3, size=(n,)).astype(np.float32)
+    z = rng.uniform(0, 2, size=(n,)).astype(np.float32)
+    side = rng.integers(0, 3, size=n)
+    pts = np.column_stack([
+        x,
+        np.where(side == 0, -3.0, np.where(side == 1, 3.0, y)),
+        np.where(side == 2, 0.0, z),
+    ]).astype(np.float32)
+    return pts
+
+
+def scan_at(world, pose, max_range):
+    R, t = pose[:3, :3], pose[:3, 3]
+    local = (world - t) @ R
+    return local[np.linalg.norm(local, axis=1) < max_range].astype(np.float32)
+
+
+def small_range_config(rng_m=15):
+    cfg = {**BASE_CONFIG}
+    cfg["mapper"] = {**BASE_CONFIG["mapper"], "sensorMaxRange": rng_m}
+    return cfg
+
+
+def drive_long(mapper, world, xs, rng_m=15):
+    for i, x in enumerate(xs):
+        pose = pose_at(x)
+        scan = scan_at(world, pose, rng_m)
+        batch = PointBatch.from_numpy(scan)
+        mapper.process_input(mapper.apply_input_filters(batch), pose,
+                             i * int(1e8))
+
+
+def test_cells_evict_when_robot_moves_far(rng):
+    world = corridor_world(rng)
+    mapper = Mapper(small_range_config(), is_3d=True)
+    # drive 0 -> 160 m: window (15 m range -> cells +-1) moves by 8 cells
+    xs = np.arange(2.0, 160.0, 10.0)
+    drive_long(mapper, world, xs)
+    cell_ids = mapper.map.cell_manager.get_all_cell_ids()
+    assert len(cell_ids) > 0, "cells should have been evicted"
+    # local cloud only holds the window; global map holds everything
+    local_n = int(mapper.map.local.count())
+    global_n = mapper.get_map()["positions"].shape[0]
+    assert global_n > local_n
+    # evicted points are far behind the robot (window + buffer + 2-cell
+    # hysteresis + one-cell quantization of the unload slab)
+    local = mapper.map.local.to_numpy()["positions"]
+    robot_x = mapper.get_pose()[0, 3]
+    window = (mapper.map.sensor_max_range
+              + (BUFFER_SIZE + 3) * CELL_SIZE)
+    assert local[:, 0].min() >= robot_x - window - 1.0
+
+
+def test_global_map_preserved_across_window_moves(rng):
+    """Unload/load round trip must not lose points (property test)."""
+    world = corridor_world(rng, length=200.0, n=2000)
+    mapper = Mapper(small_range_config(), is_3d=True)
+    xs = np.arange(2.0, 120.0, 10.0)
+    drive_long(mapper, world, xs)
+    n_total = mapper.get_map()["positions"].shape[0]
+    # drive back: previously evicted cells reload
+    xs_back = np.arange(110.0, 1.0, -10.0)
+    drive_long(mapper, world, xs_back)
+    n_after = mapper.get_map()["positions"].shape[0]
+    # map can only grow (new points merged), never lose evicted content
+    assert n_after >= n_total * 0.95
+
+
+def test_online_mode_async_updates(rng):
+    world = corridor_world(rng, length=100.0, n=2000)
+    mapper = Mapper(small_range_config(), is_3d=True, is_online=True)
+    xs = np.arange(2.0, 60.0, 8.0)
+    drive_long(mapper, world, xs)
+    # wait for in-flight merge + queued cell updates
+    if mapper._map_update_future is not None:
+        mapper._map_update_future.result()
+    mapper.map.wait_for_updates()
+    assert mapper.get_map()["positions"].shape[0] > 500
+    assert len(mapper.get_trajectory()) == len(xs)
+    mapper.shutdown()
+
+
+def test_hard_drive_cell_manager_spill(rng, tmp_path):
+    from norlab_icp_mapper_tpu.cell_manager import HardDriveCellManager
+    cm = HardDriveCellManager(str(tmp_path / "cells"))
+    cell = {"positions": rng.normal(size=(50, 3)).astype(np.float32),
+            "probabilityDynamic": np.full((50, 1), 0.5, np.float32)}
+    cm.save_cell("1_2_3", cell)
+    back = cm.retrieve_cell("1_2_3")
+    np.testing.assert_allclose(back["positions"], cell["positions"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(back["probabilityDynamic"],
+                               cell["probabilityDynamic"], atol=1e-6)
+    assert cm.retrieve_cell("9_9_9") is None
+    cm.clear_all_cells()
+    assert cm.get_all_cell_ids() == []
