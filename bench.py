@@ -89,8 +89,9 @@ def main():
     poses2 = poses + [(p, s + int(2e9)) for (p, s) in poses]
     mapper, per_scan = run_pipeline(both, poses2)
     steady = per_scan[len(scans) + 2:]
-    n = len(steady)
-    scans_per_sec = n / sum(steady)
+    # median: robust to residual compile hits (remote XLA compiles on this
+    # backend cost minutes and would otherwise swamp the mean)
+    scans_per_sec = 1.0 / float(np.median(steady))
 
     baseline = get_baseline()
     base = baseline.get("scans_per_sec_cpu", float("nan"))
