@@ -346,6 +346,28 @@ class OctreeGridFilter(DataPointsFilter):
 
 
 @filter_registry.register
+class ObservationDirectionFilter(DataPointsFilter):
+    """Add unit vectors from each point toward the sensor
+    (lpm ``ObservationDirectionDataPointsFilter``; cloud in sensor frame).
+    The descriptor rotates covariantly under SE(3) like normals."""
+
+    NAME = "ObservationDirectionDataPointsFilter"
+    PARAMS = {
+        "x": Param("sensor x in scan frame", 0.0),
+        "y": Param("sensor y in scan frame", 0.0),
+        "z": Param("sensor z in scan frame", 0.0),
+    }
+
+    def apply(self, batch, key=None):
+        origin = jnp.array(
+            [self.params["x"], self.params["y"], self.params["z"]][: batch.dim],
+            jnp.float32)
+        v = origin[None, :] - batch.positions
+        n = jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        return batch.with_descriptor("observationDirections", v / n)
+
+
+@filter_registry.register
 class IdentityFilter(DataPointsFilter):
     """No-op filter (lpm ``IdentityDataPointsFilter``)."""
 

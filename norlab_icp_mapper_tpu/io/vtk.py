@@ -68,7 +68,13 @@ def read_vtk(path: str) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     """Read a legacy ASCII VTK POLYDATA/UNSTRUCTURED file.
 
     Returns ``(positions [n,3] float32, descriptors {name: [n,k] float32})``.
+    Uses the native C++ parser (io/native.py) when available; this numpy
+    implementation is the fallback and the reference oracle.
     """
+    from .native import read_vtk_native
+    native = read_vtk_native(path)
+    if native is not None:
+        return native
     with open(path, "r") as f:
         text = f.read()
     lines = text.splitlines()
@@ -140,6 +146,9 @@ def write_vtk(path: str, positions: np.ndarray,
               comment: str = "File created by norlab_icp_mapper_tpu") -> None:
     """Write a legacy ASCII VTK POLYDATA file readable by ParaView and
     libpointmatcher (mirrors the layout of the reference's saved maps)."""
+    from .native import write_vtk_native
+    if write_vtk_native(path, positions, descriptors):
+        return
     positions = np.asarray(positions, dtype=np.float32)
     n = positions.shape[0]
     if positions.shape[1] == 2:  # 2-D clouds save with z=0
