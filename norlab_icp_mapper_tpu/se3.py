@@ -79,13 +79,20 @@ def exp_se3(xi: jax.Array) -> jax.Array:
     """
     v, w = xi[:3], xi[3:]
     theta2 = jnp.dot(w, w)
-    theta = jnp.sqrt(theta2 + 1e-30)
+    small = theta2 < 1e-4  # theta < 0.01: Taylor beats f32 trig cancellation
+    # safe-where: sanitize the argument of the non-small branch so reverse-
+    # and forward-mode AD never see 0/0 (both branches are differentiated)
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
     W = _skew(w)
     W2 = W @ W
-    small = theta < 1e-4
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
+    half = 0.5 * theta_safe
+    A = jnp.where(small, 1.0 - theta2 / 6.0,
+                  jnp.sin(theta_safe) / theta_safe)
+    # half-angle form: 1 - cos t = 2 sin^2(t/2), cancellation-free in f32
+    B = jnp.where(small, 0.5 - theta2 / 24.0,
+                  2.0 * jnp.sin(half) * jnp.sin(half) / theta2_safe)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2_safe)
     R = jnp.eye(3, dtype=xi.dtype) + A * W + B * W2
     V = jnp.eye(3, dtype=xi.dtype) + B * W + C * W2
     t = V @ v
@@ -101,20 +108,30 @@ def log_se3(T: jax.Array) -> jax.Array:
     # angle via atan2(sin, cos): well-conditioned at theta≈0, unlike arccos
     # (arccos loses ~sqrt(eps) there, ~3e-4 in float32)
     w_hat = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-    sin_theta = 0.5 * jnp.linalg.norm(w_hat)
+    s2 = jnp.dot(w_hat, w_hat)
+    small = s2 < 4e-4  # theta < 0.01: Taylor beats f32 trig cancellation
+    s2_safe = jnp.where(small, 1.0, s2)
+    sin_theta = 0.5 * jnp.sqrt(s2_safe)  # poisoned in the small branch
     cos_theta = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arctan2(sin_theta, cos_theta)
-    theta2 = theta * theta
-    small = theta < 1e-4
-    scale = jnp.where(small, 0.5 + theta2 / 12.0, theta / (2.0 * jnp.sin(theta) + 1e-30))
+    theta_big = jnp.arctan2(sin_theta, cos_theta)
+    # the small branch must avoid sqrt(s2): d/ds2 sqrt blows up at 0 and
+    # poisons AD. Downstream small-branch math only needs theta^2 = s2/4.
+    theta2 = jnp.where(small, 0.25 * s2, theta_big * theta_big)
+    theta_safe = jnp.where(small, 1.0, theta_big)
+    scale = jnp.where(small, 0.5 + theta2 / 12.0,
+                      theta_safe / (2.0 * jnp.sin(theta_safe)))
     w = scale * w_hat
     W = _skew(w)
     W2 = W @ W
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / (theta + 1e-30))
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + 1e-30))
+    half = 0.5 * theta_safe
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta_safe) / theta_safe)
+    # half-angle form avoids 1-cos cancellation (NaN source at theta~2e-4)
+    B = jnp.where(small, 0.5 - theta2 / 24.0,
+                  2.0 * jnp.sin(half) * jnp.sin(half)
+                  / (theta_safe * theta_safe))
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
     coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
-                     (1.0 - A / (2.0 * B + 1e-30)) / (theta2 + 1e-30))
+                     (1.0 - A / (2.0 * B)) / (theta_safe * theta_safe))
     Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * W + coef * W2
     v = Vinv @ t
     return jnp.concatenate([v, w])
@@ -126,9 +143,11 @@ def exp_se2(xi: jax.Array) -> jax.Array:
     w = xi[2]
     c, s = jnp.cos(w), jnp.sin(w)
     R = jnp.array([[c, -s], [s, c]], dtype=xi.dtype)
-    small = jnp.abs(w) < 1e-4
-    A = jnp.where(small, 1.0 - w * w / 6.0, s / (w + 1e-30))
-    B = jnp.where(small, w / 2.0, (1.0 - c) / (w + 1e-30))
+    small = jnp.abs(w) < 1e-2
+    w_safe = jnp.where(small, 1.0, w)
+    A = jnp.where(small, 1.0 - w * w / 6.0, jnp.sin(w_safe) / w_safe)
+    B = jnp.where(small, w / 2.0,
+                  2.0 * jnp.sin(0.5 * w_safe) * jnp.sin(0.5 * w_safe) / w_safe)
     V = jnp.array([[A, -B], [B, A]], dtype=xi.dtype)
     t = V @ v
     T = jnp.eye(3, dtype=xi.dtype)

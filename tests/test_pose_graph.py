@@ -1,0 +1,87 @@
+import numpy as np
+import jax.numpy as jnp
+
+from norlab_icp_mapper_tpu import se3
+from norlab_icp_mapper_tpu.slam import (
+    optimize_pose_graph, sequential_edges, detect_loop_closures)
+
+
+def circle_poses(n=20, radius=10.0):
+    """Ground-truth poses around a circle, heading tangent."""
+    poses = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        T = np.eye(4, dtype=np.float32)
+        c, s = np.cos(th), np.sin(th)
+        T[:3, :3] = [[-s, -c, 0], [c, -s, 0], [0, 0, 1]]
+        T[0, 3] = radius * np.cos(th)
+        T[1, 3] = radius * np.sin(th)
+        poses.append(T)
+    return np.stack(poses)
+
+
+def test_drifted_loop_recovers_with_closure():
+    gt = circle_poses(20)
+    rng = np.random.default_rng(0)
+
+    # integrate noisy odometry -> drifted trajectory
+    drifted = [gt[0]]
+    ei, ej, Z = sequential_edges(gt)
+    Z_noisy = []
+    for k in range(len(ei)):
+        xi = rng.normal(size=6).astype(np.float32) * \
+            np.array([0.02, 0.02, 0.0, 0.0, 0.0, 0.01], np.float32)
+        Zn = np.asarray(se3.exp_se3(jnp.asarray(xi))) @ Z[k]
+        Z_noisy.append(Zn)
+        drifted.append(drifted[-1] @ Zn)
+    drifted = np.stack(drifted).astype(np.float32)
+    drift_err = np.linalg.norm(drifted[-1][:3, 3] - gt[-1][:3, 3])
+    assert drift_err > 0.1  # meaningful drift accumulated
+
+    # loop closure: node 19 -> node 0 with the TRUE relative transform
+    lc_Z = (np.linalg.inv(gt[19]) @ gt[0]).astype(np.float32)
+    all_i = ei + [19]
+    all_j = ej + [0]
+    all_Z = np.concatenate([np.stack(Z_noisy), lc_Z[None]], axis=0)
+    w = [1.0] * len(Z_noisy) + [50.0]
+
+    opt, costs = optimize_pose_graph(drifted, all_i, all_j, all_Z, w,
+                                     iters=15)
+    assert costs[-1] < costs[0] * 0.5
+    # loop closure satisfied after optimization
+    rel = np.linalg.inv(opt[19]) @ opt[0]
+    err = np.linalg.norm(rel[:3, 3] - lc_Z[:3, 3])
+    assert err < 0.05, err
+
+
+def test_consistent_graph_is_fixed_point():
+    gt = circle_poses(8)
+    ei, ej, Z = sequential_edges(gt)
+    opt, costs = optimize_pose_graph(gt, ei, ej, Z, iters=3)
+    np.testing.assert_allclose(opt, gt, atol=1e-3)
+
+
+def test_detect_loop_closures_finds_revisit(rng):
+    from norlab_icp_mapper_tpu.icp.engine import ICPEngine
+    from tests.test_icp import make_structured_cloud
+
+    cloud = make_structured_cloud(rng)
+    # keyframes 0 and 12 are both at the origin viewing the same cloud
+    n = 13
+    poses = np.stack([np.eye(4, dtype=np.float32)] * n)
+    for i in range(1, 12):
+        poses[i][0, 3] = 100.0 + i  # far away in between
+    scans = [cloud if i in (0, 12) else cloud + 500.0 for i in range(n)]
+    engine = ICPEngine({
+        "matcher": {"KDTreeMatcher": {"knn": 1, "maxDist": 1.0}},
+        "errorMinimizer": "PointToPlaneErrorMinimizer",
+        "referenceDataPointsFilters": [
+            {"SurfaceNormalDataPointsFilter": {"knn": 8}}],
+        "transformationCheckers": [
+            {"CounterTransformationChecker": {"maxIterationCount": 10}}],
+    }, dim=3)
+    ei, ej, Z, w = detect_loop_closures(scans, poses, engine,
+                                        min_index_gap=5, max_dist=2.0)
+    assert (0, 12) in list(zip(ei, ej))
+    k = list(zip(ei, ej)).index((0, 12))
+    np.testing.assert_allclose(Z[k], np.eye(4), atol=2e-2)
