@@ -250,17 +250,10 @@ class SurfaceNormalFilter(DataPointsFilter):
         k = int(self.params["knn"])
         max_dist = self.params["maxDist"]
         pos = batch.positions
-        if max_dist != float("inf"):
-            # radius-bounded neighborhoods -> spatial hash (27*C candidates
-            # per point instead of the whole cloud)
-            from ..ops.gridhash import build_grid, grid_hash_knn
-            table, _ = build_grid(pos, batch.mask, max_dist, H=1 << 15, C=128)
-            d2, idx = grid_hash_knn(pos, pos, table, max_dist,
-                                    query_mask=batch.mask, k=k,
-                                    max_radius=max_dist, H=1 << 15, C=128)
-        else:
-            d2, idx = knn(pos, pos, batch.mask, batch.mask, k=k,
-                          max_radius=None)
+        from ..ops.nn import radius_knn
+        d2, idx = radius_knn(
+            pos, pos, batch.mask, batch.mask, k=k,
+            max_radius=None if max_dist == float("inf") else max_dist)
         safe_idx = jnp.maximum(idx, 0)
         neigh = pos[safe_idx]  # [N, k, D]
         w = (idx >= 0).astype(jnp.float32)[..., None]  # [N, k, 1]

@@ -31,7 +31,7 @@ import numpy as np
 from .. import se3
 from ..points import PointBatch
 from ..filters.core import FilterChain
-from ..ops.nn import knn
+from ..ops.nn import knn, _use_pallas as _nn_use_pallas
 from ..ops.gridhash import build_grid, grid_hash_knn
 
 # spatial-hash sizing for the matcher (table is [H, C] i32; candidates per
@@ -266,9 +266,10 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask, *,
 
     smooth_len = diff_checker[2] if diff_checker else 1
 
-    # radius-capped matcher -> spatial hash (built once per solve; the map
-    # is fixed across ICP iterations, queries move). Unbounded -> brute force.
-    if max_radius is not None:
+    # radius-capped matcher -> per-backend engine (Pallas brute force on
+    # TPU, spatial hash elsewhere); the hash table is rebuilt per solve
+    # only on non-TPU backends where it is cheap relative to the search.
+    if max_radius is not None and not _nn_use_pallas():
         gh_table, _ = build_grid(ref_pos, ref_mask, max_radius,
                                  H=_GH_H, C=_GH_C)
     else:

@@ -196,15 +196,13 @@ def _dynamic_points_update(scan_pos, scan_mask, map_pos, map_mask,
     scan_ang = _spherical_angles(scan_s, scan_r)
     map_ang = _spherical_angles(map_s, map_r)
 
-    # angular 1-NN: map beams -> nearest scan beam, radius 2*beamHalfAngle.
-    # spatial hash over the (elevation, azimuth) plane: beam cells are tiny
-    # (~0.02 rad), so 9*C candidates replace the full scan (~200x less work)
-    from ..ops.gridhash import build_grid, grid_hash_knn
+    # angular 1-NN: map beams -> nearest scan beam, radius 2*beamHalfAngle
+    # (per-backend radius engine: Pallas brute force on TPU, spatial hash
+    # over the (elevation, azimuth) plane elsewhere)
+    from ..ops.nn import radius_knn
     radius = 2.0 * beam_half_angle
-    table, _ = build_grid(scan_ang, scan_mask, radius, H=1 << 14, C=64)
-    d2k, idxk = grid_hash_knn(map_ang, scan_ang, table, radius,
-                              query_mask=in_range, k=1, max_radius=radius,
-                              H=1 << 14, C=64)
+    d2k, idxk = radius_knn(map_ang, scan_ang, in_range, scan_mask, k=1,
+                           max_radius=radius, gh_H=1 << 14, gh_C=64)
     d2, idx = d2k[:, 0], idxk[:, 0]
     has_match = idx >= 0
     sidx = jnp.maximum(idx, 0)
