@@ -69,6 +69,7 @@ class Map:
             HardDriveCellManager() if save_cells_on_hard_drive else RAMCellManager())
         self.modules: List = []
         self.local: Optional[PointBatch] = None
+        self._known_count: Optional[int] = None  # host mirror of local.count
         self.loaded_cell_ids: set = set()
         self.first_pose_update = True
         self.new_local_available = False
@@ -121,7 +122,11 @@ class Map:
         with self._lock:
             if self.local is None:
                 return True
-            return int(self.local.count()) == 0
+            if self._known_count is not None:
+                return self._known_count == 0
+            # fall back to one device sync, then cache
+            self._known_count = int(jax.device_get(self.local.count()))
+            return self._known_count == 0
 
     def get_local_point_cloud(self) -> Optional[PointBatch]:
         with self._lock:
@@ -183,6 +188,7 @@ class Map:
         (in_cap, out_cap) pair and shapes stabilize after a few scans.
         """
         n = int(jax.device_get(local.count()))
+        self._known_count = n
         cap_t = bucket_capacity(n)
         if cap_t >= local.capacity:
             return local
@@ -348,13 +354,15 @@ class Map:
                                 np.zeros((c["positions"].shape[0], kdim), np.float32))
                     desc[n] = np.concatenate(parts)
                 incoming = PointBatch.from_numpy(pos[:, :self.dim], desc)
-                if self.local is None or int(self.local.count()) == 0:
+                if self.is_local_point_cloud_empty():
                     self.local = incoming
+                    self._known_count = pos.shape[0]
                 else:
                     from .points import concatenate as _concat
-                    n_total = int(self.local.count()) + pos.shape[0]
+                    n_total = (self._known_count or 0) + pos.shape[0]
                     self.local = _concat(self.local, incoming,
                                          capacity=bucket_capacity(n_total))
+                    self._known_count = n_total
                 self.icp.set_map(self.local)
                 self.new_local_available = True
             self.loaded_cell_ids.update(ids)
@@ -381,6 +389,7 @@ class Map:
         with self._lock:
             desc_keep = {k: v for k, v in keep.items() if k != "positions"}
             self.local = PointBatch.from_numpy(keep["positions"], desc_keep)
+            self._known_count = keep["positions"].shape[0]
             self.icp.set_map(self.local)
             for (i, j, k) in self._iter_cells(sr, er, sc, ec, sa, ea) \
                     if (er - sr) < 10**6 else []:
@@ -463,5 +472,6 @@ class Map:
                 np.asarray(cloud["positions"])[:, : self.dim], desc)
         with self._lock:
             self.local = batch
+            self._known_count = None  # unknown until next sync
             self.icp.set_map(batch)
             self.first_pose_update = True

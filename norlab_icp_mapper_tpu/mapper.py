@@ -223,8 +223,12 @@ class Mapper:
             self._update_map(scan, corrected, timestamp_ns)
         else:
             result = self.icp(scan, key=self._next_key())
-            correction = np.asarray(result.correction)
-            self.overlap = float(result.overlap)
+            # one host round-trip for both outputs (syncs are expensive on
+            # tunneled TPU backends)
+            correction, overlap = jax.device_get(
+                (result.correction, result.overlap))
+            correction = np.asarray(correction)
+            self.overlap = float(overlap)
             corrected = correction @ estimated_pose
             self.map.update_pose(corrected)
             if self._should_update_map(timestamp_ns, corrected, self.overlap):
