@@ -36,19 +36,22 @@ def main(data_path: str, config_path: str, out_dir: str = None,
     mapper = Mapper(config_path, is_3d=True, is_online=False,
                     is_mapping=True, save_map_cells_on_hard_drive=False)
 
+    from norlab_icp_mapper_tpu.io.loader import ScanLoader
+    loader = ScanLoader(
+        [os.path.join(scans_dir, f) for f in scan_files], extras=poses,
+        prefetch=2)
     t_start = time.perf_counter()
     per_scan = []
-    for fname, (pose, stamp_ns) in zip(scan_files, poses):
+    for i, (scan, (pose, stamp_ns)) in enumerate(loader):
         t0 = time.perf_counter()
-        pos, desc = read_vtk(os.path.join(scans_dir, fname))
-        scan = PointBatch.from_numpy(pos, desc)
         filtered = mapper.apply_input_filters(scan)
         mapper.process_input(filtered, pose, stamp_ns)
         dt = time.perf_counter() - t0
         per_scan.append(dt)
         if verbose:
-            print(f"{fname}: {dt * 1e3:.1f} ms", flush=True)
+            print(f"{scan_files[i]}: {dt * 1e3:.1f} ms", flush=True)
     total = time.perf_counter() - t_start
+    loader.close()
 
     cloud = mapper.get_map()
     desc_out = {k: v for k, v in cloud.items() if k != "positions"}

@@ -361,6 +361,93 @@ class ObservationDirectionFilter(DataPointsFilter):
 
 
 @filter_registry.register
+class MaxDistFilter(DataPointsFilter):
+    """Keep points closer than ``maxDist`` (lpm ``MaxDistDataPointsFilter``)."""
+
+    NAME = "MaxDistDataPointsFilter"
+    PARAMS = {
+        "dim": Param("-1 = radial norm, 0/1/2 = axis", -1.0, float, -1, 2),
+        "maxDist": Param("distance threshold (m)", 1.0),
+    }
+
+    def apply(self, batch, key=None):
+        dim = int(self.params["dim"])
+        thr = jnp.float32(self.params["maxDist"])
+        if dim == -1:
+            val = jnp.linalg.norm(batch.positions, axis=1)
+        else:
+            val = batch.positions[:, dim]
+        return batch.with_mask(val < thr)
+
+
+@filter_registry.register
+class MinDistFilter(DataPointsFilter):
+    """Keep points farther than ``minDist`` (lpm ``MinDistDataPointsFilter``)."""
+
+    NAME = "MinDistDataPointsFilter"
+    PARAMS = {
+        "dim": Param("-1 = radial norm, 0/1/2 = axis", -1.0, float, -1, 2),
+        "minDist": Param("distance threshold (m)", 1.0),
+    }
+
+    def apply(self, batch, key=None):
+        dim = int(self.params["dim"])
+        thr = jnp.float32(self.params["minDist"])
+        if dim == -1:
+            val = jnp.linalg.norm(batch.positions, axis=1)
+        else:
+            val = batch.positions[:, dim]
+        return batch.with_mask(val > thr)
+
+
+@filter_registry.register
+class ShadowFilter(DataPointsFilter):
+    """Remove shadow points — points whose normal is nearly orthogonal to
+    the viewing ray (lpm ``ShadowDataPointsFilter``; needs ``normals``,
+    cloud in sensor frame)."""
+
+    NAME = "ShadowDataPointsFilter"
+    PARAMS = {
+        "eps": Param("cos-angle threshold below which a point is shadow",
+                     0.1, float, 0, 1),
+    }
+
+    def apply(self, batch, key=None):
+        if "normals" not in batch.descriptors:
+            raise ValueError(f"{self.NAME}: cloud has no 'normals' descriptor")
+        pdir = batch.positions / jnp.maximum(
+            jnp.linalg.norm(batch.positions, axis=1, keepdims=True), 1e-12)
+        cosang = jnp.abs(jnp.sum(batch.descriptors["normals"] * pdir, axis=1))
+        return batch.with_mask(cosang > self.params["eps"])
+
+
+@filter_registry.register
+class VoxelGridFilter(DataPointsFilter):
+    """Centroid-per-voxel downsampling (lpm ``VoxelGridDataPointsFilter``)."""
+
+    NAME = "VoxelGridDataPointsFilter"
+    PARAMS = {
+        "vSizeX": Param("voxel edge x (m)", 0.2, float, 0),
+        "vSizeY": Param("voxel edge y (m) (must equal vSizeX here)", 0.2,
+                        float, 0),
+        "vSizeZ": Param("voxel edge z (m) (must equal vSizeX here)", 0.2,
+                        float, 0),
+        "useCentroid": Param("1: centroid, 0: first point", 1.0, float, 0, 1),
+    }
+
+    def apply(self, batch, key=None):
+        vox = self.params["vSizeX"]
+        method = 2 if self.params["useCentroid"] >= 0.5 else 0
+        keep, centroid = voxel_select(batch.positions, batch.mask, vox,
+                                      method=method, key=key)
+        out = batch.with_mask(keep)
+        if method == 2:
+            out = out.replace(positions=jnp.where(
+                keep[:, None], centroid, out.positions))
+        return out
+
+
+@filter_registry.register
 class IdentityFilter(DataPointsFilter):
     """No-op filter (lpm ``IdentityDataPointsFilter``)."""
 
