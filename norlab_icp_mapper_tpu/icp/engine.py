@@ -266,9 +266,9 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask, *,
 
     smooth_len = diff_checker[2] if diff_checker else 1
 
-    # radius-capped matcher -> per-backend engine (Pallas brute force on
-    # TPU, spatial hash elsewhere); the hash table is rebuilt per solve
-    # only on non-TPU backends where it is cheap relative to the search.
+    # radius-capped matcher -> per-backend engine (sorted-sweep + Pallas
+    # kernel on TPU, spatial hash elsewhere); the hash table is rebuilt per
+    # solve only on non-TPU backends where it is cheap relative to search.
     if max_radius is not None and not _nn_use_pallas():
         gh_table, _ = build_grid(ref_pos, ref_mask, max_radius,
                                  H=_GH_H, C=_GH_C)
@@ -281,6 +281,10 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask, *,
             d2, idx = grid_hash_knn(p, ref_pos, gh_table, max_radius,
                                     query_mask=read_mask, k=k,
                                     max_radius=max_radius, H=_GH_H, C=_GH_C)
+        elif max_radius is not None:
+            from ..ops.nn_sweep import sweep_knn
+            d2, idx = sweep_knn(p, ref_pos, read_mask, ref_mask, k=k,
+                                max_radius=max_radius, q_tile=2048, W=16384)
         else:
             d2, idx = knn(p, ref_pos, read_mask, ref_mask, k=k,
                           max_radius=max_radius)

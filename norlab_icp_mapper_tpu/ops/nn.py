@@ -142,17 +142,18 @@ def radius_knn(query, ref, query_mask=None, ref_mask=None, k: int = 1,
                max_radius=None, gh_H: int = 1 << 15, gh_C: int = 128):
     """Radius-capped KNN with per-backend engine selection.
 
-    On TPU the Pallas brute-force kernel wins: XLA lowers the grid-hash's
-    big gathers (bucket table + candidate positions) to pathological
-    per-element loops there. On CPU/GPU the grid-hash's 27*C candidate
-    model is 10-100x less work than brute force.  Same output contract as
-    ``knn``.
+    On TPU the sorted-sweep + Pallas kernel wins (contiguous windows, no
+    gathers): XLA lowers the grid-hash's big gathers (bucket table +
+    candidate positions) to pathological per-element loops there. On
+    CPU/GPU the grid-hash's 27*C candidate model is 10-100x less work than
+    brute force.  Same output contract as ``knn``.
     """
     if max_radius is None:
         return knn(query, ref, query_mask, ref_mask, k=k)
     if _use_pallas():
-        return knn(query, ref, query_mask, ref_mask, k=k,
-                   max_radius=max_radius)
+        from .nn_sweep import sweep_knn
+        return sweep_knn(query, ref, query_mask, ref_mask, k=k,
+                         max_radius=max_radius, q_tile=2048, W=16384)
     from .gridhash import build_grid, grid_hash_knn
     if ref_mask is None:
         ref_mask = jnp.ones((ref.shape[0],), bool)

@@ -1,0 +1,67 @@
+import numpy as np
+import jax.numpy as jnp
+
+from norlab_icp_mapper_tpu.ops.nn import _knn_xla
+from norlab_icp_mapper_tpu.ops.nn_sweep import sweep_knn
+
+
+def test_sweep_matches_bruteforce(rng):
+    q = jnp.asarray(rng.uniform(-30, 30, size=(700, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-30, 30, size=(3000, 3)).astype(np.float32))
+    d_s, i_s = sweep_knn(q, r, k=3, max_radius=2.0, q_tile=128, W=2048,
+                         use_pallas=False)
+    d_b, i_b = _knn_xla(q, r, k=3, max_radius=jnp.float32(2.0))
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_b))
+    both = np.isfinite(np.asarray(d_b))
+    np.testing.assert_allclose(np.asarray(d_s)[both], np.asarray(d_b)[both],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_sweep_masks(rng):
+    q = jnp.asarray(np.array([[0, 0, 0], [50, 0, 0]], np.float32))
+    r = jnp.asarray(np.array([[0.5, 0, 0], [0.1, 0, 0], [49.9, 0, 0]],
+                             np.float32))
+    rmask = jnp.asarray([True, False, True])
+    qmask = jnp.asarray([True, False])
+    d, i = sweep_knn(q, r, query_mask=qmask, ref_mask=rmask, k=1,
+                     max_radius=1.0, q_tile=128, W=256, use_pallas=False)
+    assert int(i[0, 0]) == 0  # masked nearer ref excluded
+    assert int(i[1, 0]) == -1  # masked query
+
+
+def test_sweep_2d(rng):
+    q = jnp.asarray(rng.uniform(-10, 10, size=(200, 2)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-10, 10, size=(800, 2)).astype(np.float32))
+    d_s, i_s = sweep_knn(q, r, k=2, max_radius=1.5, q_tile=128, W=1024,
+                         use_pallas=False)
+    d_b, i_b = _knn_xla(q, r, k=2, max_radius=jnp.float32(1.5))
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_b))
+
+
+def test_sweep_pallas_interp(rng):
+    from jax.experimental.pallas import tpu as pltpu
+    # enough queries that a 256-query tile spans a narrow x-range, so the
+    # 1024-wide ref window covers every candidate (no overflow)
+    q = jnp.asarray(rng.uniform(-5, 5, size=(2000, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-5, 5, size=(1200, 3)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        d_s, i_s = sweep_knn(q, r, k=2, max_radius=1.0, q_tile=256, W=1024,
+                             use_pallas=True)
+    d_b, i_b = _knn_xla(q, r, k=2, max_radius=jnp.float32(1.0))
+    # f32 rounding differs slightly between the kernel and the oracle, so
+    # near-ties may swap order and pairs with d2 ~ radius^2 may flip in/out
+    # of the cap; compare away from the boundary shell, and verify indices
+    # by recomputing the distance they imply
+    d_b_np = np.asarray(d_b)
+    d_s_np = np.asarray(d_s)
+    interior = np.isfinite(d_b_np) & (np.abs(d_b_np - 1.0) > 1e-3)
+    np.testing.assert_allclose(d_s_np[interior], d_b_np[interior],
+                               rtol=1e-3, atol=1e-4)
+    i_s_np = np.asarray(i_s)
+    qn = np.asarray(q)
+    rn = np.asarray(r)
+    for row in range(0, 2000, 97):
+        for kk in range(2):
+            if i_s_np[row, kk] >= 0:
+                true_d = np.sum((qn[row] - rn[i_s_np[row, kk]]) ** 2)
+                assert abs(true_d - float(d_s[row, kk])) < 1e-3
