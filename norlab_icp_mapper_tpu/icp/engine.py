@@ -110,8 +110,11 @@ class ICPEngine:
             cfg.get("readingDataPointsFilters"))
         self.reference_filters = FilterChain.from_yaml(
             cfg.get("referenceDataPointsFilters"))
-        if cfg.get("readingStepDataPointsFilters"):
-            raise ValueError("readingStepDataPointsFilters not supported yet")
+        # applied to the (moving) reading at every ICP iteration — lpm
+        # semantics; only mask/descriptor edits are possible, which is what
+        # lpm's step filters (random sampling etc.) do anyway
+        self.reading_step_filters = FilterChain.from_yaml(
+            cfg.get("readingStepDataPointsFilters"))
 
         name, p = _single_key(cfg.get("matcher", {"KDTreeMatcher": {"knn": 1}}),
                               "matcher")
@@ -217,15 +220,19 @@ class ICPEngine:
         ref_normals = ref.descriptors.get(
             "normals", jnp.zeros_like(ref.positions))
         solve = self._get_solve(reading.capacity, ref.capacity)
+        if key is None:
+            key = jax.random.PRNGKey(0)
         correction, overlap, iters, resid = solve(
             reading.positions, reading.mask, ref.positions, ref_normals,
-            ref.mask)
+            ref.mask, key)
         return ICPResult(correction, overlap, iters, resid)
 
     # ---------------------------------------------------------- internals
     def _get_solve(self, n_cap: int, m_cap: int):
         key = (n_cap, m_cap, self.dim)
         if key not in self._solve_cache:
+            step_fn = (self.reading_step_filters._apply_impl
+                       if len(self.reading_step_filters) else None)
             self._solve_cache[key] = jax.jit(
                 functools.partial(_icp_solve,
                                   dim=self.dim,
@@ -235,7 +242,8 @@ class ICPEngine:
                                   minimizer=self.minimizer,
                                   max_iter=self.max_iter,
                                   diff_checker=self.diff_checker,
-                                  bound_checker=self.bound_checker),
+                                  bound_checker=self.bound_checker,
+                                  step_filter=step_fn),
                 static_argnames=())
         return self._solve_cache[key]
 
@@ -254,10 +262,11 @@ def _rot_angle(R: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=(
     "dim", "k", "max_dist", "outlier_filters", "minimizer", "max_iter",
-    "diff_checker", "bound_checker"))
-def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask, *,
+    "diff_checker", "bound_checker", "step_filter"))
+def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
+               rng_key=None, *,
                dim, k, max_dist, outlier_filters, minimizer, max_iter,
-               diff_checker, bound_checker):
+               diff_checker, bound_checker, step_filter=None):
     """One fused ICP registration: while_loop{ match → weight → minimize }."""
     f32 = jnp.float32
     hdim = dim + 1
@@ -275,18 +284,27 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask, *,
     else:
         gh_table = None
 
-    def match_and_weigh(T):
+    def match_and_weigh(T, it_key):
         p = se3.apply_points(T, read_pos)  # [N, D]
+        if step_filter is not None:
+            # lpm readingStepDataPointsFilters: re-filter a fresh copy of
+            # the (moved) reading every iteration; mask-only effects here
+            from ..points import PointBatch as _PB
+            stepped = step_filter(_PB(p, read_mask, {}), it_key)
+            p = stepped.positions
+            cur_mask = stepped.mask
+        else:
+            cur_mask = read_mask
         if gh_table is not None:
             d2, idx = grid_hash_knn(p, ref_pos, gh_table, max_radius,
-                                    query_mask=read_mask, k=k,
+                                    query_mask=cur_mask, k=k,
                                     max_radius=max_radius, H=_GH_H, C=_GH_C)
         elif max_radius is not None:
             from ..ops.nn_sweep import sweep_knn
-            d2, idx = sweep_knn(p, ref_pos, read_mask, ref_mask, k=k,
+            d2, idx = sweep_knn(p, ref_pos, cur_mask, ref_mask, k=k,
                                 max_radius=max_radius, q_tile=2048, W=16384)
         else:
-            d2, idx = knn(p, ref_pos, read_mask, ref_mask, k=k,
+            d2, idx = knn(p, ref_pos, cur_mask, ref_mask, k=k,
                           max_radius=max_radius)
         w = (idx >= 0).astype(f32)  # [N, k]
         for kind, param in outlier_filters:
@@ -315,7 +333,7 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask, *,
                 w = w * (jnp.arccos(jnp.clip(cosang, 0, 1)) <= param)
         q = ref_pos[jnp.maximum(idx, 0)]  # [N, k, D]
         qn = ref_norm[jnp.maximum(idx, 0)]
-        matched = jnp.any(idx >= 0, axis=1) & read_mask
+        matched = jnp.any(idx >= 0, axis=1) & cur_mask
         overlap = jnp.sum(matched.astype(f32)) / n_valid_read
         return p, q, qn, w, overlap
 
@@ -376,7 +394,9 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask, *,
 
     def body(state):
         T, it, done, _, _, hist = state
-        p, q, qn, w, overlap = match_and_weigh(T)
+        it_key = (jax.random.fold_in(rng_key, it)
+                  if rng_key is not None else None)
+        p, q, qn, w, overlap = match_and_weigh(T, it_key)
         dT, rms = minimize(p, q, qn, w)
         T_new = dT @ T
         new_done = jnp.array(minimizer == "IdentityErrorMinimizer")

@@ -121,3 +121,15 @@ def test_missing_normals_raises(rng):
 def test_unknown_config_key_rejected():
     with pytest.raises(ValueError, match="unknown section"):
         ICPEngine({"bogusSection": {}}, dim=3)
+
+
+def test_reading_step_filters_subsample_each_iteration(rng):
+    cfg = dict(BASE_CFG)
+    cfg["readingStepDataPointsFilters"] = [
+        {"RandomSamplingDataPointsFilter": {"prob": 0.5}}]
+    cloud = make_structured_cloud(rng)
+    T_err = perturbation(0.05, 0.03)
+    result, _ = run_icp(cfg, cloud, T_err)
+    recovered = np.asarray(result.correction)
+    # still converges (looser: only half the points participate per step)
+    np.testing.assert_allclose(recovered @ T_err, np.eye(4), atol=2e-2)
