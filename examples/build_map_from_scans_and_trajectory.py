@@ -5,16 +5,23 @@
 Usage:
     python examples/build_map_from_scans_and_trajectory.py <dataPath> <configFilePath> [outputDir]
 
-``dataPath`` must contain ``scans/*.vtk`` (sorted lexicographically, matched
-1:1 by order to rows of ``icp_odom.csv`` — no interpolation, reference
-``docs/RunningExample.md:30-33``).  Outputs ``map.vtk`` and
-``trajectory.vtk`` into ``outputDir`` (default: dataPath).
+``dataPath`` must contain ``scans/*.{vtk,ply,csv,pcd}`` (sorted
+lexicographically, matched 1:1 by order to rows of ``icp_odom.csv`` — no
+interpolation, reference ``docs/RunningExample.md:30-33``).  Outputs
+``map.vtk`` and ``trajectory.vtk`` into ``outputDir`` (default: dataPath).
+
+Set ``NIM_PLATFORM=cpu`` to force the JAX backend (the axon sitecustomize
+tunnel ignores ``JAX_PLATFORMS``, so this must go through jax.config).
 """
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if os.environ.get("NIM_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["NIM_PLATFORM"])
 
 import numpy as np
 
@@ -25,9 +32,11 @@ from norlab_icp_mapper_tpu.io import read_vtk, write_vtk, read_trajectory_csv
 def main(data_path: str, config_path: str, out_dir: str = None,
          verbose: bool = True):
     out_dir = out_dir or data_path
+    os.makedirs(out_dir, exist_ok=True)
     scans_dir = os.path.join(data_path, "scans")
     scan_files = sorted(
-        f for f in os.listdir(scans_dir) if f.endswith(".vtk"))
+        f for f in os.listdir(scans_dir)
+        if f.lower().endswith((".vtk", ".ply", ".csv", ".pcd")))
     poses = read_trajectory_csv(os.path.join(data_path, "icp_odom.csv"))
     assert len(scan_files) == len(poses), (
         f"scan count {len(scan_files)} != trajectory rows {len(poses)}")

@@ -54,7 +54,9 @@ def read_pcd(path: str) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
                 names.append(fld if cnt == 1 else f"{fld}_{c}")
                 dtypes.append(dt)
 
-        if encoding == "ascii":
+        if n == 0:
+            cols = [np.zeros((0,), np.float32) for _ in names]
+        elif encoding == "ascii":
             data = np.loadtxt(f, dtype=np.float64, max_rows=n)
             data = np.atleast_2d(data)
             cols = [data[:, i].astype(np.float32) for i in range(len(names))]
