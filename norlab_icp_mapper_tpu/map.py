@@ -141,13 +141,20 @@ class Map:
             return None
 
     # --------------------------------------------------------- merge pipeline
+    def merge_headroom_scans(self) -> int:
+        """Free-slot headroom the module chain needs, in scans (see
+        ``MapperModule.INSERTS``)."""
+        return max(1, sum(getattr(m, "INSERTS", 0) for m in self.modules))
+
     def _merge_fns(self, post_filters):
         """Jitted create/update merge pipelines.
 
         The whole merge — module chain, sensor-frame post filters, frame
         transforms — compiles as ONE XLA program per shape bucket instead of
         hundreds of eager op dispatches (critical on remote-compile TPU
-        backends)."""
+        backends).  All passes are fixed-capacity: the caller pre-sizes the
+        local buffer with scan headroom and modules ``insert`` into free
+        slots, so the output capacity equals the input capacity."""
         cache_key = id(post_filters)
         if getattr(self, "_merge_cache_key", None) != cache_key:
             modules = self.modules
@@ -161,9 +168,12 @@ class Map:
                     local = se3.apply(pose, local)
                 return local
 
-            def create_fn(scan, pose, key):
+            def create_fn(base, scan, pose, key):
+                # reference Map.cpp:505-515: modules[0].createMap then the
+                # rest update; `base` is the pre-sized empty local buffer
+                from .points import insert as _insert
                 it = iter(modules)
-                local = next(it).create_map(scan, pose)
+                local = _insert(base, next(it).create_map(scan, pose))
                 for m in it:
                     local = m.update_map(scan, local, pose)
                 return _post(local, pose, key)
@@ -178,48 +188,35 @@ class Map:
             self._merge_update = jax.jit(update_fn)
         return self._merge_create, self._merge_update
 
-    def _shrink_to_fit(self, local: PointBatch) -> PointBatch:
-        """Re-bucket capacity to the valid point count.
-
-        ``concatenate`` buckets by capacity sums, so without this the map's
-        capacity doubles every merge regardless of the real point count
-        (observed: 1M-slot buffers for an 80k-point map → HBM OOM).  One
-        host sync per merge reads the count; the gather compiles once per
-        (in_cap, out_cap) pair and shapes stabilize after a few scans.
-        """
-        n = int(jax.device_get(local.count()))
-        self._known_count = n
-        cap_t = bucket_capacity(n)
-        if cap_t >= local.capacity:
-            return local
-        key = (local.capacity, cap_t,
-               tuple(sorted(local.descriptors)), local.dim)
-        cache = getattr(self, "_shrink_cache", None)
-        if cache is None:
-            cache = self._shrink_cache = {}
-        if key not in cache:
-            import jax.numpy as jnp
-
-            def shrink(b):
-                return b.compact().gather(jnp.arange(cap_t))
-
-            cache[key] = jax.jit(shrink)
-        return cache[key](local)
-
     def update_local_point_cloud(self, scan: PointBatch, pose: np.ndarray,
                                  post_filters,
-                                 key: Optional[jax.Array] = None) -> None:
-        """Reference ``Map.cpp:502-534``."""
+                                 key: Optional[jax.Array] = None,
+                                 scan_valid_hint: Optional[int] = None) -> None:
+        """Reference ``Map.cpp:502-534``.
+
+        ``scan_valid_hint`` is an upper bound on the scan's valid-point
+        count (the loader knows it before padding); it sizes the map
+        buffer's free-slot headroom tighter than ``scan.capacity`` would.
+        """
         pose_j = jax.numpy.asarray(pose)
         if key is None:
             key = jax.random.PRNGKey(0)
+        hint = int(scan_valid_hint) if scan_valid_hint else scan.capacity
+        headroom = self.merge_headroom_scans() * hint
         create_fn, update_fn = self._merge_fns(post_filters)
         with self._lock:
             if self.is_local_point_cloud_empty():
-                local = create_fn(scan, pose_j, key)
+                cap = bucket_capacity(hint + headroom)
+                base = PointBatch.empty(cap, scan.dim)
+                local = create_fn(base, scan, pose_j, key)
             else:
-                local = update_fn(scan, self.local, pose_j, key)
-            local = self._shrink_to_fit(local)
+                if self._known_count is None:
+                    self._known_count = int(jax.device_get(self.local.count()))
+                cap = bucket_capacity(self._known_count + headroom)
+                local = self.local.pad_to(cap) \
+                    if cap > self.local.capacity else self.local
+                local = update_fn(scan, local, pose_j, key)
+            self._known_count = int(jax.device_get(local.count()))
             self.local = local
             self.icp.set_map(local)
             self.new_local_available = True

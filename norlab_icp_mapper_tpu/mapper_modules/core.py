@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import se3
-from ..points import PointBatch, bucket_capacity, concatenate
+from ..points import PointBatch, insert
 from ..registry import Param, ParametrizedPlugin, Registry
 from ..ops.nn import nn1
 from ..ops.voxel import voxel_select
@@ -29,7 +29,15 @@ mapper_module_registry = Registry("MapperModule")
 
 
 class MapperModule(ParametrizedPlugin):
-    """Plugin ABC (reference ``MapperModule.h:20-29``)."""
+    """Plugin ABC (reference ``MapperModule.h:20-29``).
+
+    ``update_map`` is fixed-capacity: output capacity == map capacity.  A
+    module that writes scan points into the map (``INSERTS = 1``) needs the
+    caller to provide one scan's worth of free-slot headroom; the Map sizes
+    the buffer from the sum of ``INSERTS`` over the configured modules.
+    """
+
+    INSERTS = 0  # free-slot headroom this module needs, in scans
 
     def create_map(self, scan: PointBatch, pose: jax.Array) -> PointBatch:
         return scan
@@ -55,15 +63,16 @@ class PointDistanceMapperModule(MapperModule):
             "is not added to the map (in meters).", 0.03, float, 0.0),
     }
 
+    # one inserting pass: Map sizes the buffer with scan.capacity headroom
+    INSERTS = 1
+
     def update_map(self, scan, map_batch, pose):
         min_dist = self.params["minDistNewPoint"]
         d2, _ = nn1(scan.positions, map_batch.positions, scan.mask,
                     map_batch.mask)
         # no-match (inf) counts as "far" and is kept, matching nabo semantics
         keep = scan.mask & ~(d2 < min_dist * min_dist)
-        new_points = scan.with_mask(keep)
-        cap = bucket_capacity(int(map_batch.capacity + scan.capacity))
-        return concatenate(map_batch, new_points, capacity=cap)
+        return insert(map_batch, scan.with_mask(keep))
 
 
 @mapper_module_registry.register
@@ -104,10 +113,10 @@ class OctreeMapperModule(MapperModule):
         # reference inPlaceCreateMap: update with an empty map == decimate scan
         return self._decimate(scan)
 
+    INSERTS = 1
+
     def update_map(self, scan, map_batch, pose):
-        cap = bucket_capacity(int(map_batch.capacity + scan.capacity))
-        merged = concatenate(map_batch, scan, capacity=cap)
-        return self._decimate(merged)
+        return self._decimate(insert(map_batch, scan))
 
 
 @mapper_module_registry.register

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PointBatch", "bucket_capacity"]
+__all__ = ["PointBatch", "bucket_capacity", "concatenate", "insert"]
 
 _MIN_CAPACITY = 256
 
@@ -145,11 +145,21 @@ class PointBatch:
     def compact(self) -> "PointBatch":
         """Move valid points to the front (stable), keeping capacity.
 
-        Sort-by-invalidity with a stable argsort — the device-side analog of
-        the reference's in-place shuffles (e.g. ``Map.cpp:158-175``).
+        Cumsum + scatter (O(C), no sort) — the device-side analog of the
+        reference's in-place shuffles (e.g. ``Map.cpp:158-175``).  Invalid
+        slots are zero-filled.
         """
-        order = jnp.argsort(~self.mask, stable=True)
-        return self.gather(order)
+        cap = self.capacity
+        dest = jnp.cumsum(self.mask.astype(jnp.int32)) - 1
+        tgt = jnp.where(self.mask, dest, cap)  # cap = out of bounds -> drop
+        pos = jnp.zeros_like(self.positions).at[tgt].set(
+            self.positions, mode="drop")
+        mask = jnp.zeros_like(self.mask).at[tgt].set(self.mask, mode="drop")
+        desc = {
+            k: jnp.zeros_like(v).at[tgt].set(v, mode="drop")
+            for k, v in self.descriptors.items()
+        }
+        return PointBatch(pos, mask, desc)
 
     def gather(self, idx: jax.Array) -> "PointBatch":
         """Reindex all channels by ``idx`` (mask gathered too)."""
@@ -177,6 +187,44 @@ class PointBatch:
             if name not in desc:
                 desc[name] = jnp.zeros((self.capacity, k), jnp.float32)
         return dataclasses.replace(self, descriptors=desc)
+
+
+def insert(dst: PointBatch, src: PointBatch) -> PointBatch:
+    """Write ``src``'s valid points into ``dst``'s free slots, in order.
+
+    The fixed-capacity replacement for the reference's growing
+    ``DataPoints::concatenate`` (``PointDistanceMapperModule.cpp:49``,
+    ``OctreeMapperModule.cpp:35``): ``dst`` is compacted (valid points to
+    the front, order preserved), then ``src``'s valid points are scattered
+    into slots ``[count, count + n_src)``.  Capacity of the result equals
+    ``dst.capacity`` — so the whole merge can live under ``lax.cond`` inside
+    one fused per-scan XLA program.  The caller must size ``dst`` with
+    enough headroom; points past capacity are dropped.
+
+    Descriptor sets are unioned; channels missing on either side zero-fill.
+    """
+    cap = dst.capacity
+    names = sorted(set(dst.descriptors) | set(src.descriptors))
+    dims = {
+        n: (dst.descriptors[n] if n in dst.descriptors
+            else src.descriptors[n]).shape[1]
+        for n in names
+    }
+    dst = dst.align_descriptors(names, [dims[n] for n in names])
+    src = src.align_descriptors(names, [dims[n] for n in names])
+
+    dst = dst.compact()
+    n = jnp.sum(dst.mask.astype(jnp.int32))
+    slot = jnp.cumsum(src.mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(src.mask, n + slot, cap)  # cap -> dropped
+
+    pos = dst.positions.at[tgt].set(src.positions, mode="drop")
+    mask = dst.mask.at[tgt].set(src.mask, mode="drop")
+    desc = {
+        k: dst.descriptors[k].at[tgt].set(src.descriptors[k], mode="drop")
+        for k in names
+    }
+    return PointBatch(pos, mask, desc)
 
 
 def concatenate(a: PointBatch, b: PointBatch, capacity: Optional[int] = None) -> PointBatch:

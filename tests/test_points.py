@@ -1,7 +1,8 @@
 import numpy as np
 import jax.numpy as jnp
 
-from norlab_icp_mapper_tpu.points import PointBatch, bucket_capacity, concatenate
+from norlab_icp_mapper_tpu.points import (
+    PointBatch, bucket_capacity, concatenate, insert)
 
 
 def test_bucket_capacity():
@@ -47,6 +48,36 @@ def test_concatenate_orders_a_then_b(rng):
     # descriptor union zero-fills the side that lacks it
     np.testing.assert_allclose(out["probabilityDynamic"][:5], 0.0)
     np.testing.assert_allclose(out["probabilityDynamic"][5:], 0.6)
+
+
+def test_insert_fixed_capacity(rng):
+    """insert keeps dst capacity, appends src valid points after dst's."""
+    apos = rng.normal(size=(5, 3)).astype(np.float32)
+    a = PointBatch.from_numpy(apos, capacity=256)
+    # punch a hole in a's mask: insert must compact around it
+    a = a.replace(mask=a.mask.at[2].set(False))
+    bpos = rng.normal(size=(7, 3)).astype(np.float32)
+    b = PointBatch.from_numpy(
+        bpos, {"probabilityDynamic": np.full((7, 1), 0.6, np.float32)},
+        capacity=64)
+    b = b.replace(mask=b.mask.at[0].set(False))
+    c = insert(a, b)
+    assert c.capacity == 256
+    out = c.to_numpy()
+    expect_a = apos[[0, 1, 3, 4]]
+    np.testing.assert_allclose(out["positions"][:4], expect_a)
+    np.testing.assert_allclose(out["positions"][4:], bpos[1:])
+    np.testing.assert_allclose(out["probabilityDynamic"][:4], 0.0)
+    np.testing.assert_allclose(out["probabilityDynamic"][4:], 0.6)
+
+
+def test_insert_overflow_drops_excess(rng):
+    a = PointBatch.from_numpy(rng.normal(size=(250, 3)).astype(np.float32),
+                              capacity=256)
+    b = PointBatch.from_numpy(rng.normal(size=(20, 3)).astype(np.float32))
+    c = insert(a, b)
+    assert c.capacity == 256
+    assert int(c.count()) == 256  # 250 + first 6 of b fit; rest dropped
 
 
 def test_pad_to_grows(rng):
