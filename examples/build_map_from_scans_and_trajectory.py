@@ -51,14 +51,16 @@ def main(data_path: str, config_path: str, out_dir: str = None,
         prefetch=2)
     t_start = time.perf_counter()
     per_scan = []
-    for i, (scan, (pose, stamp_ns)) in enumerate(loader):
+    for i, (scan, n_valid, (pose, stamp_ns)) in enumerate(loader):
         t0 = time.perf_counter()
         filtered = mapper.apply_input_filters(scan)
-        mapper.process_input(filtered, pose, stamp_ns)
+        mapper.process_input(filtered, pose, stamp_ns,
+                             scan_valid_hint=n_valid)
         dt = time.perf_counter() - t0
         per_scan.append(dt)
         if verbose:
             print(f"{scan_files[i]}: {dt * 1e3:.1f} ms", flush=True)
+    mapper._drain_fused()  # pipelined mode: wall time includes device work
     total = time.perf_counter() - t_start
     loader.close()
 

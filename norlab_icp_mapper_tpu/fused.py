@@ -1,0 +1,160 @@
+"""Fused per-scan pipeline: the whole hot path as ONE XLA program.
+
+The reference's per-scan work (``Mapper.cpp:194-238`` + ``Map.cpp:502-534``)
+is a chain of C++ calls — transform, ICP, update-condition policy, module
+merge, post filters, kd-tree rebuild.  Dispatching each stage as its own XLA
+program costs a host round-trip per stage, and reading the correction/overlap
+back to decide the merge stalls the device every scan.  Here the entire
+chain compiles into a single jitted program with the map as *donated* state:
+
+  transform -> ICP solve -> update-condition (device) -> lax.cond(merge:
+  modules -> sensor-frame post filters -> ICP reference filters)
+
+so the host dispatches one program per scan and never blocks on it.  The
+merge decision (``shouldUpdateMap``, ``Mapper.cpp:240-272``) becomes a
+traced predicate; both merge outcomes have the map's fixed capacity (see
+``points.insert``), so the conditional compiles.
+
+State pytree (all device arrays, donated every step):
+  map        PointBatch  — local point cloud, fixed capacity w/ headroom
+  ref        PointBatch  — reference-filtered map for ICP (only when the
+                           engine has referenceDataPointsFilters)
+  pose       (D+1,D+1)   — corrected pose of the latest scan
+  last_pose  (D+1,D+1)   — pose at the last map update (distance condition)
+  last_t     f32 scalar  — seconds at the last map update (delay condition)
+
+The host keeps only pipelined mirrors: scan i's tiny outputs (pose, count,
+merged) are read while scan i+1 computes, so rolling-window checks and
+capacity management run one scan behind without stalling (the reference
+gets the same decoupling from its update thread / std::async future,
+``Map.cpp:29-57``, ``Mapper.cpp:280-287``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import se3
+from .points import PointBatch
+
+__all__ = ["FusedScanStep"]
+
+
+class FusedScanStep:
+    """Builds and caches the fused per-scan program for a configured Mapper.
+
+    The scan passed to ``__call__`` must already be input-filtered (the
+    public ``apply_input_filters`` contract matches the reference, where the
+    caller sees the filtered cloud) and in the *sensor* frame.
+    """
+
+    def __init__(self, mapper):
+        self._m = mapper
+        # map/ref buffers are donated (large, rewritten every merge); meta
+        # (pose, last_pose, last_t) is NOT — per-scan pose arrays are handed
+        # to the Trajectory and must outlive the next step
+        self._jit = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    @property
+    def has_ref(self) -> bool:
+        return len(self._m.icp.reference_filters) > 0
+
+    def init_state(self, local: PointBatch, ref, pose, last_pose,
+                   last_t_s: float):
+        """Returns (bufs, meta) device state."""
+        f32 = jnp.float32
+        bufs = {"map": local}
+        if self.has_ref:
+            bufs["ref"] = ref if ref is not None else local
+        meta = {
+            "pose": jnp.asarray(pose, f32),
+            "last_pose": jnp.asarray(last_pose, f32),
+            "last_t": f32(last_t_s),
+        }
+        return bufs, meta
+
+    def __call__(self, bufs, meta, scan: PointBatch, est_pose, stamp_s,
+                 is_mapping, key):
+        return self._jit(bufs, meta, scan, est_pose, stamp_s, is_mapping, key)
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, bufs, meta, scan, est_pose, stamp_s, is_mapping,
+                   key):
+        m = self._m
+        d = m.dim
+        k_read, k_solve, k_post, k_ref = jax.random.split(key, 4)
+
+        # scan -> map frame with the pose prior (Mapper.cpp:197)
+        scan_m = se3.apply(est_pose, scan)
+
+        # --- ICP against the (reference-filtered) map (Mapper.cpp:211-214)
+        ref = bufs["ref"] if self.has_ref else bufs["map"]
+        reading = scan_m
+        if len(m.icp.reading_filters):
+            reading = m.icp.reading_filters._apply_impl(reading, k_read)
+        if (m.icp.minimizer == "PointToPlaneErrorMinimizer"
+                and "normals" not in ref.descriptors):
+            raise ValueError(
+                "PointToPlaneErrorMinimizer requires 'normals' on the map; "
+                "add SurfaceNormalDataPointsFilter to "
+                "referenceDataPointsFilters or the mapper post filters")
+        ref_normals = ref.descriptors.get("normals",
+                                          jnp.zeros_like(ref.positions))
+        correction, overlap, iters, _resid = m.icp.solve_partial()(
+            reading.positions, reading.mask, ref.positions, ref_normals,
+            ref.mask, k_solve)
+        corrected = correction @ est_pose
+
+        # --- update condition on device (Mapper.cpp:240-272)
+        cond = m.map_update_condition
+        if cond == "overlap":
+            should = overlap < m.map_update_overlap
+        elif cond == "delay":
+            should = (stamp_s - meta["last_t"]) > m.map_update_delay
+        else:  # distance
+            should = jnp.linalg.norm(
+                corrected[:d, d] - meta["last_pose"][:d, d]) \
+                > m.map_update_distance
+        do_merge = should & is_mapping
+
+        # --- conditional merge (Map.cpp:502-534), fixed capacity
+        def merge(_):
+            scan_c = se3.apply(correction, scan_m)
+            local = bufs["map"]
+            for mod in m.map.modules:
+                local = mod.update_map(scan_c, local, corrected)
+            if len(m.post_filters):
+                # post filters run in the sensor frame (Map.cpp:523-525)
+                inv = se3.inverse(corrected)
+                local = se3.apply(inv, local)
+                local = m.post_filters._apply_impl(local, k_post)
+                local = se3.apply(corrected, local)
+            if self.has_ref:
+                return local, m.icp.reference_filters._apply_impl(
+                    local, k_ref)
+            return (local,)
+
+        def keep(_):
+            if self.has_ref:
+                return bufs["map"], bufs["ref"]
+            return (bufs["map"],)
+
+        outs = jax.lax.cond(do_merge, merge, keep, None)
+
+        new_bufs = {"map": outs[0]}
+        if self.has_ref:
+            new_bufs["ref"] = outs[1]
+        new_meta = {
+            "pose": corrected,
+            "last_pose": jnp.where(do_merge, corrected, meta["last_pose"]),
+            "last_t": jnp.where(do_merge, stamp_s, meta["last_t"]),
+        }
+        aux = {
+            "count": outs[0].count(),
+            "merged": do_merge,
+            "overlap": overlap,
+            "iterations": iters,
+        }
+        return new_bufs, new_meta, aux

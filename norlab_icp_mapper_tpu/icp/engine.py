@@ -228,23 +228,29 @@ class ICPEngine:
         return ICPResult(correction, overlap, iters, resid)
 
     # ---------------------------------------------------------- internals
+    def solve_partial(self):
+        """The configured solve as a pure traceable callable
+        ``(read_pos, read_mask, ref_pos, ref_norm, ref_mask, key) ->
+        (correction, overlap, iters, resid)`` — used directly by the fused
+        per-scan program (``fused.py``)."""
+        step_fn = (self.reading_step_filters._apply_impl
+                   if len(self.reading_step_filters) else None)
+        return functools.partial(_icp_solve,
+                                 dim=self.dim,
+                                 k=self.match_knn,
+                                 max_dist=self.match_max_dist,
+                                 outlier_filters=tuple(self.outlier_filters),
+                                 minimizer=self.minimizer,
+                                 max_iter=self.max_iter,
+                                 diff_checker=self.diff_checker,
+                                 bound_checker=self.bound_checker,
+                                 step_filter=step_fn)
+
     def _get_solve(self, n_cap: int, m_cap: int):
         key = (n_cap, m_cap, self.dim)
         if key not in self._solve_cache:
-            step_fn = (self.reading_step_filters._apply_impl
-                       if len(self.reading_step_filters) else None)
-            self._solve_cache[key] = jax.jit(
-                functools.partial(_icp_solve,
-                                  dim=self.dim,
-                                  k=self.match_knn,
-                                  max_dist=self.match_max_dist,
-                                  outlier_filters=tuple(self.outlier_filters),
-                                  minimizer=self.minimizer,
-                                  max_iter=self.max_iter,
-                                  diff_checker=self.diff_checker,
-                                  bound_checker=self.bound_checker,
-                                  step_filter=step_fn),
-                static_argnames=())
+            self._solve_cache[key] = jax.jit(self.solve_partial(),
+                                             static_argnames=())
         return self._solve_cache[key]
 
 
@@ -302,7 +308,7 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
         elif max_radius is not None:
             from ..ops.nn_sweep import sweep_knn
             d2, idx = sweep_knn(p, ref_pos, cur_mask, ref_mask, k=k,
-                                max_radius=max_radius, q_tile=2048, W=16384)
+                                max_radius=max_radius, q_tile=2048, W=8192)
         else:
             d2, idx = knn(p, ref_pos, cur_mask, ref_mask, k=k,
                           max_radius=max_radius)

@@ -32,14 +32,18 @@ class ScanLoader:
         self.capacity = capacity
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=workers)
 
-    def _load(self, path: str) -> PointBatch:
+    def _load(self, path: str) -> Tuple[PointBatch, int]:
         pos, desc = read_point_cloud(path)
-        return PointBatch.from_numpy(pos, desc, capacity=self.capacity)
+        return (PointBatch.from_numpy(pos, desc, capacity=self.capacity),
+                pos.shape[0])
 
     def __len__(self) -> int:
         return len(self.paths)
 
-    def __iter__(self) -> Iterator[Tuple[PointBatch, object]]:
+    def __iter__(self) -> Iterator[Tuple[PointBatch, int, object]]:
+        """Yields ``(batch, n_valid, extra)`` — ``n_valid`` is the real
+        (pre-padding) point count, the map-headroom hint for
+        ``Mapper.process_input(scan_valid_hint=...)``."""
         futures: List = []
         idx = 0
         n = len(self.paths)
@@ -47,11 +51,11 @@ class ScanLoader:
             futures.append(self._pool.submit(self._load, self.paths[idx]))
             idx += 1
         for i in range(n):
-            batch = futures.pop(0).result()
+            batch, n_valid = futures.pop(0).result()
             if idx < n:
                 futures.append(self._pool.submit(self._load, self.paths[idx]))
                 idx += 1
-            yield batch, self.extras[i]
+            yield batch, n_valid, self.extras[i]
 
     def close(self):
         self._pool.shutdown(wait=False)

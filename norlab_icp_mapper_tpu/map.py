@@ -222,8 +222,16 @@ class Map:
             self.new_local_available = True
 
     # --------------------------------------------------------- rolling window
-    def update_pose(self, pose: np.ndarray) -> None:
-        """Reference ``Map.cpp:246-460`` — window shift with 2-cell hysteresis."""
+    def update_pose(self, pose: np.ndarray, defer: bool = False):
+        """Reference ``Map.cpp:246-460`` — window shift with 2-cell hysteresis.
+
+        With ``defer=True`` the window bookkeeping advances but the cell
+        load/unload updates are *returned* instead of applied — the fused
+        pipelined mapper applies them at its next sync point (the same
+        decoupling the reference gets from its update thread,
+        ``Map.cpp:29-57``).
+        """
+        deferred: List = [] if defer else None
         pose = np.asarray(pose)
         d = self.dim
         p = pose[:d, d]
@@ -246,7 +254,7 @@ class Map:
             self._load_cells(inf[0] - B, sup[0] + B, inf[1] - B, sup[1] + B,
                              inf[2] - B, sup[2] + B)
             self.first_pose_update = False
-            return
+            return deferred
 
         w = self._window
         B = BUFFER_SIZE
@@ -260,25 +268,27 @@ class Map:
                 if new_lo < w[lo_i]:  # window grew: load entering slab
                     nb = w[lo_i] - new_lo
                     self._schedule_slab(axis, new_lo - B, new_lo - B + nb - 1,
-                                        w, load=True)
+                                        w, load=True, deferred=deferred)
                 else:  # window shrank: unload leaving slab
                     nb = new_lo - w[lo_i]
                     self._schedule_slab(axis, w[lo_i] - B, w[lo_i] - B + nb - 1,
-                                        w, load=False)
+                                        w, load=False, deferred=deferred)
                 w[lo_i] = new_lo
             # superior edge (reference Map.cpp:308-335 pattern)
             if abs(new_hi - w[hi_i]) >= 2:
                 if new_hi < w[hi_i]:
                     nb = w[hi_i] - new_hi
                     self._schedule_slab(axis, w[hi_i] + B - nb + 1, w[hi_i] + B,
-                                        w, load=False)
+                                        w, load=False, deferred=deferred)
                 else:
                     nb = new_hi - w[hi_i]
                     self._schedule_slab(axis, new_hi + B - nb + 1, new_hi + B,
-                                        w, load=True)
+                                        w, load=True, deferred=deferred)
                 w[hi_i] = new_hi
+        return deferred
 
-    def _schedule_slab(self, axis: int, start: int, end: int, w, load: bool):
+    def _schedule_slab(self, axis: int, start: int, end: int, w, load: bool,
+                       deferred=None):
         B = BUFFER_SIZE
         bounds = [w[0] - B, w[1] + B, w[2] - B, w[3] + B, w[4] - B, w[5] + B]
         bounds[2 * axis] = start
@@ -286,7 +296,9 @@ class Map:
         if not self.is_3d:
             bounds[4], bounds[5] = 0, 0
         update = (load, tuple(bounds))
-        if self.is_online:
+        if deferred is not None:
+            deferred.append(update)
+        elif self.is_online:
             self._update_queue.put(update)
         else:
             self._apply_update(update)

@@ -23,6 +23,7 @@ continues while the merge is in flight (the reference's ``std::async`` future,
 from __future__ import annotations
 
 import concurrent.futures
+import os
 from typing import Any, Dict, Optional, Union
 
 import jax
@@ -33,6 +34,7 @@ import yaml
 from . import se3
 from .points import PointBatch
 from .filters.core import FilterChain, filter_registry
+from .fused import FusedScanStep
 from .icp.engine import ICPEngine
 from .map import Map
 from .mapper_modules.core import mapper_module_registry
@@ -89,18 +91,32 @@ class Mapper:
         self.load_config(config)
 
         # the radius filter is built AFTER config load so it picks up the
-        # configured sensorMaxRange (reference Mapper.cpp:25-31); wrapped in
-        # a chain so it runs as one jitted program
+        # configured sensorMaxRange (reference Mapper.cpp:25-31); folded with
+        # the input chain so apply_input_filters is ONE jitted program
         self.radius_filter = FilterChain([filter_registry.create(
             "DistanceLimitDataPointsFilter",
             {"dim": -1, "dist": self.map.get_sensor_max_range(),
              "removeInside": 0})])
+        self._input_all = FilterChain(
+            self.radius_filter.filters + self.input_filters.filters)
         self._apply_tf = jax.jit(se3.apply)
 
         self._map_update_future: Optional[concurrent.futures.Future] = None
         self._executor = (
             concurrent.futures.ThreadPoolExecutor(max_workers=1)
             if is_online else None)
+
+        # fused pipelined hot path (offline): one XLA program per scan,
+        # host reads scan i-1's tiny outputs while scan i computes
+        self._use_fused = (not is_online
+                           and os.environ.get("NIM_NO_FUSED", "") == "")
+        self._fused: Optional[FusedScanStep] = None
+        self._fused_state = None
+        self._fused_prev = None  # (pose_dev, count_dev, merged_dev)
+        self._fused_count_ub: Optional[int] = None
+        self._pending_window: list = []
+        self._epoch_ns: Optional[int] = None
+        self._overlap_dev = None
 
     # ----------------------------------------------------------------- config
     def load_config(self, config: Union[str, Dict[str, Any], None]):
@@ -206,21 +222,42 @@ class Mapper:
         return sub
 
     def apply_input_filters(self, scan: PointBatch) -> PointBatch:
-        """Reference ``Mapper.cpp:187-191`` (scan in sensor frame)."""
-        scan = self.radius_filter.apply(scan, self._next_key())
-        return self.input_filters.apply(scan, self._next_key())
+        """Reference ``Mapper.cpp:187-191`` (scan in sensor frame); the
+        radius filter and the input chain run as one jitted program."""
+        return self._input_all.apply(scan, self._next_key())
 
     def process_input(self, filtered_scan_in_sensor_frame: PointBatch,
-                      estimated_pose: np.ndarray, timestamp_ns: int) -> None:
-        """Reference ``Mapper.cpp:194-238``."""
+                      estimated_pose: np.ndarray, timestamp_ns: int,
+                      scan_valid_hint: Optional[int] = None) -> None:
+        """Reference ``Mapper.cpp:194-238``.
+
+        ``scan_valid_hint``: optional upper bound on the scan's valid point
+        count (the loader knows it pre-padding); tightens map-buffer
+        headroom sizing.  Offline, the whole step runs as one fused XLA
+        program with no host sync (see ``fused.py``); online and bootstrap
+        scans take the stepwise path.
+        """
         estimated_pose = np.asarray(estimated_pose, dtype=np.float32)
+        if self._epoch_ns is None:
+            self._epoch_ns = int(timestamp_ns)
+
+        if (self._use_fused and isinstance(self.icp, ICPEngine)
+                and (self._fused_state is not None
+                     or (not self.map.first_pose_update
+                         and not self.map.is_local_point_cloud_empty()))):
+            self._process_input_fused(filtered_scan_in_sensor_frame,
+                                      estimated_pose, timestamp_ns,
+                                      scan_valid_hint)
+            return
+
+        self._drain_fused()
         pose_j = jnp.asarray(estimated_pose)
         scan = self._apply_tf(pose_j, filtered_scan_in_sensor_frame)
 
         if self.map.is_local_point_cloud_empty():
             corrected = estimated_pose
             self.map.update_pose(corrected)
-            self._update_map(scan, corrected, timestamp_ns)
+            self._update_map(scan, corrected, timestamp_ns, scan_valid_hint)
         else:
             result = self.icp(scan, key=self._next_key())
             # one host round-trip for both outputs (syncs are expensive on
@@ -233,7 +270,8 @@ class Mapper:
             self.map.update_pose(corrected)
             if self._should_update_map(timestamp_ns, corrected, self.overlap):
                 corrected_scan = self._apply_tf(jnp.asarray(correction), scan)
-                self._update_map(corrected_scan, corrected, timestamp_ns)
+                self._update_map(corrected_scan, corrected, timestamp_ns,
+                                 scan_valid_hint)
 
         if (self._map_update_future is not None
                 and self._map_update_future.done()):
@@ -242,6 +280,105 @@ class Mapper:
 
         self.pose = np.asarray(corrected)
         self.trajectory.add_pose(self.pose, timestamp_ns)
+
+    # ---------------------------------------------------- fused hot path
+    def _process_input_fused(self, scan: PointBatch,
+                             estimated_pose: np.ndarray, timestamp_ns: int,
+                             scan_valid_hint: Optional[int] = None) -> None:
+        """One fused program per scan; host work is O(1) and non-blocking
+        except the tiny (pose, count, merged) read of scan i-1."""
+        # apply window events deferred from the previous scan (rare sync)
+        if self._pending_window:
+            self._drain_fused()
+        hint = int(scan_valid_hint) if scan_valid_hint else scan.capacity
+        bufs, meta = self._ensure_fused_state()
+        headroom = self.map.merge_headroom_scans() * hint
+        if self._fused_count_ub is None:
+            self._fused_count_ub = (
+                self.map._known_count
+                if self.map._known_count is not None
+                else int(jax.device_get(bufs["map"].count())))
+        if self._fused_count_ub + headroom > bufs["map"].capacity:
+            from .points import bucket_capacity
+            new_cap = bucket_capacity(self._fused_count_ub + headroom)
+            bufs = {k: v.pad_to(new_cap) for k, v in bufs.items()}
+
+        stamp_s = jnp.float32((int(timestamp_ns) - self._epoch_ns) * 1e-9)
+        new_bufs, new_meta, aux = self._fused(
+            bufs, meta, scan, jnp.asarray(estimated_pose), stamp_s,
+            jnp.asarray(self.is_mapping), self._next_key())
+        self._fused_state = (new_bufs, new_meta)
+        self._fused_count_ub += headroom  # provisional until next harvest
+
+        # expose live handles (no sync)
+        self.map.local = new_bufs["map"]
+        self.map._known_count = None
+        self.icp._ref = new_bufs.get("ref", new_bufs["map"])
+        self.overlap = aux["overlap"]
+        self.pose = new_meta["pose"]
+        self.trajectory.add_pose(new_meta["pose"], timestamp_ns)
+
+        # harvest scan i-1's mirrors while scan i computes on device
+        if self._fused_prev is not None:
+            pose_prev, count_prev, merged_prev = jax.device_get(
+                self._fused_prev)
+            self._fused_count_ub = int(count_prev) + headroom
+            self.map._known_count = int(count_prev)  # one scan stale
+            if bool(merged_prev):
+                self.map.new_local_available = True
+            upd = self.map.update_pose(np.asarray(pose_prev), defer=True)
+            if upd:
+                self._pending_window.extend(upd)
+        self._fused_prev = (new_meta["pose"], aux["count"], aux["merged"])
+
+    def _ensure_fused_state(self):
+        if self._fused is None:
+            self._fused = FusedScanStep(self)
+        if self._fused_state is None:
+            local = self.map.get_local_point_cloud()
+            ref = getattr(self.icp, "_ref", None)
+            pose = (self.pose if self.pose is not None
+                    else np.eye(self.dim + 1, dtype=np.float32))
+            last_t = self.last_time_map_was_updated
+            last_t_s = ((last_t - self._epoch_ns) * 1e-9
+                        if np.isfinite(last_t) else -np.inf)
+            self._fused_state = self._fused.init_state(
+                local, ref, pose, self.last_pose_where_map_was_updated,
+                last_t_s)
+            self._fused_count_ub = self.map._known_count
+        return self._fused_state
+
+    def _drain_fused(self) -> None:
+        """Sync point: harvest in-flight mirrors, apply deferred window
+        updates, hand device state back to Map/ICP host bookkeeping."""
+        if self._fused_prev is not None:
+            pose_prev, count_prev, merged_prev = jax.device_get(
+                self._fused_prev)
+            self.map._known_count = int(count_prev)
+            self._fused_count_ub = int(count_prev)
+            if bool(merged_prev):
+                self.map.new_local_available = True
+            upd = self.map.update_pose(np.asarray(pose_prev), defer=True)
+            if upd:
+                self._pending_window.extend(upd)
+            self._fused_prev = None
+        if self._fused_state is not None:
+            bufs, meta = self._fused_state
+            last_pose, last_t, pose = jax.device_get(
+                (meta["last_pose"], meta["last_t"], meta["pose"]))
+            self.last_pose_where_map_was_updated = np.asarray(last_pose)
+            if np.isfinite(last_t):
+                self.last_time_map_was_updated = \
+                    float(last_t) * 1e9 + self._epoch_ns
+            self.pose = np.asarray(pose)
+            self.overlap = float(jax.device_get(self.overlap)) \
+                if not isinstance(self.overlap, float) else self.overlap
+            self.map.local = bufs["map"]
+            self.icp._ref = bufs.get("ref", bufs["map"])
+            self._fused_state = None
+        for u in self._pending_window:
+            self.map._apply_update(u)
+        self._pending_window = []
 
     def _should_update_map(self, now_ns: int, current_pose: np.ndarray,
                            overlap: float) -> bool:
@@ -262,7 +399,8 @@ class Mapper:
         return float(np.linalg.norm(cur - last)) > self.map_update_distance
 
     def _update_map(self, scan: PointBatch, pose: np.ndarray,
-                    timestamp_ns: int) -> None:
+                    timestamp_ns: int,
+                    scan_valid_hint: Optional[int] = None) -> None:
         """Reference ``Mapper.cpp:274-288``."""
         self.last_time_map_was_updated = timestamp_ns
         self.last_pose_where_map_was_updated = np.asarray(pose)
@@ -270,23 +408,27 @@ class Mapper:
         if self.is_online and not self.map.is_local_point_cloud_empty():
             self._map_update_future = self._executor.submit(
                 self.map.update_local_point_cloud, scan, pose,
-                self.post_filters, key)
+                self.post_filters, key, scan_valid_hint)
         else:
-            self.map.update_local_point_cloud(scan, pose, self.post_filters, key)
+            self.map.update_local_point_cloud(scan, pose, self.post_filters,
+                                              key, scan_valid_hint)
 
     # ------------------------------------------------------------- accessors
     def get_map(self):
+        self._drain_fused()
         return self.map.get_global_point_cloud()
 
     def set_map(self, new_map):
+        self._drain_fused()
         self.map.set_global_point_cloud(new_map)
         self.trajectory.clear()
 
     def get_new_local_map(self):
+        self._drain_fused()
         return self.map.get_new_local_point_cloud()
 
     def get_pose(self) -> Optional[np.ndarray]:
-        return self.pose
+        return None if self.pose is None else np.asarray(self.pose)
 
     def get_is_mapping(self) -> bool:
         return self.is_mapping
@@ -298,6 +440,7 @@ class Mapper:
         return self.trajectory
 
     def shutdown(self):
+        self._drain_fused()
         if self._executor is not None:
             self._executor.shutdown(wait=True)
         self.map.shutdown()

@@ -173,16 +173,19 @@ class DynamicPointsMapperModule(MapperModule):
 
 
 def _spherical_angles(pts: jax.Array, radii: jax.Array) -> jax.Array:
-    """(elevation, azimuth) per point — reference
-    ``convertToSphericalCoordinates`` (``DynamicPointsMapperModule.cpp:156-172``);
-    for 2-D clouds elevation is 0."""
+    """(azimuth, elevation) per point — reference
+    ``convertToSphericalCoordinates`` (``DynamicPointsMapperModule.cpp:156-172``)
+    stores (elevation, azimuth); the Euclidean angular distance is symmetric
+    in the two, and leading with azimuth lets the sorted-sweep NN use a tight
+    candidate window (azimuth spreads lidar beams uniformly; elevation
+    clusters them on rings).  For 2-D clouds elevation is 0."""
     dim = pts.shape[1]
     az = jnp.arctan2(pts[:, 1], pts[:, 0])
     if dim == 3:
         el = jnp.arcsin(jnp.clip(pts[:, 2] / jnp.maximum(radii, 1e-12), -1, 1))
     else:
         el = jnp.zeros_like(az)
-    return jnp.stack([el, az], axis=1)
+    return jnp.stack([az, el], axis=1)
 
 
 @jax.jit
@@ -211,7 +214,8 @@ def _dynamic_points_update(scan_pos, scan_mask, map_pos, map_mask,
     from ..ops.nn import radius_knn
     radius = 2.0 * beam_half_angle
     d2k, idxk = radius_knn(map_ang, scan_ang, in_range, scan_mask, k=1,
-                           max_radius=radius, gh_H=1 << 14, gh_C=64)
+                           max_radius=radius, gh_H=1 << 14, gh_C=64,
+                           W=4096)
     d2, idx = d2k[:, 0], idxk[:, 0]
     has_match = idx >= 0
     sidx = jnp.maximum(idx, 0)

@@ -139,7 +139,8 @@ def nn1(query, ref, query_mask=None, ref_mask=None, max_radius=None,
 
 
 def radius_knn(query, ref, query_mask=None, ref_mask=None, k: int = 1,
-               max_radius=None, gh_H: int = 1 << 15, gh_C: int = 128):
+               max_radius=None, gh_H: int = 1 << 15, gh_C: int = 128,
+               q_tile: int = 2048, W: int = 8192):
     """Radius-capped KNN with per-backend engine selection.
 
     On TPU the sorted-sweep + Pallas kernel wins (contiguous windows, no
@@ -147,13 +148,17 @@ def radius_knn(query, ref, query_mask=None, ref_mask=None, k: int = 1,
     candidate positions) to pathological per-element loops there. On
     CPU/GPU the grid-hash's 27*C candidate model is 10-100x less work than
     brute force.  Same output contract as ``knn``.
+
+    ``W`` bounds the sorted-sweep candidate window (pair work is N*W);
+    callers with structure that concentrates candidates (e.g. azimuth-sorted
+    angular NN) should pass a tighter W.
     """
     if max_radius is None:
         return knn(query, ref, query_mask, ref_mask, k=k)
     if _use_pallas():
         from .nn_sweep import sweep_knn
         return sweep_knn(query, ref, query_mask, ref_mask, k=k,
-                         max_radius=max_radius, q_tile=2048, W=16384)
+                         max_radius=max_radius, q_tile=q_tile, W=W)
     from .gridhash import build_grid, grid_hash_knn
     if ref_mask is None:
         ref_mask = jnp.ones((ref.shape[0],), bool)

@@ -36,7 +36,7 @@ def sweep_knn(
     k: int = 1,
     max_radius=2.0,
     q_tile: int = 4096,
-    W: int = 16384,
+    W: int = 8192,
     use_pallas: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Radius-capped KNN via the sorted sweep.  Output contract of ``knn``."""
@@ -79,20 +79,30 @@ def sweep_knn(
 
     def one_tile(args):
         qt, qmt, s0 = args
-        win = jax.lax.dynamic_slice(ref_s, (s0, 0), (W, dim))
-        wm = jax.lax.dynamic_slice(ref_mask_s, (s0,), (W,))
-        # note: points in the window but outside the tile's x-range are
-        # legitimate candidates anyway — every pair is radius-verified
-        if use_pallas:
-            d, i = knn_pallas(qt, win, qmt, wm, k=k, max_radius=max_radius,
-                              tq=min(1024, q_tile), tr=min(512, W))
-        else:
-            from .nn import _knn_xla
-            d, i = _knn_xla(qt, win, qmt, wm, k=k,
-                            max_radius=jnp.float32(max_radius))
-        # map window indices back to sorted-ref indices
-        i = jnp.where(i >= 0, i + s0, -1)
-        return d, i
+
+        def live(_):
+            win = jax.lax.dynamic_slice(ref_s, (s0, 0), (W, dim))
+            wm = jax.lax.dynamic_slice(ref_mask_s, (s0,), (W,))
+            # note: points in the window but outside the tile's x-range are
+            # legitimate candidates anyway — every pair is radius-verified
+            if use_pallas:
+                d, i = knn_pallas(qt, win, qmt, wm, k=k,
+                                  max_radius=max_radius,
+                                  tq=min(1024, q_tile), tr=min(512, W))
+            else:
+                from .nn import _knn_xla
+                d, i = _knn_xla(qt, win, qmt, wm, k=k,
+                                max_radius=jnp.float32(max_radius))
+            # map window indices back to sorted-ref indices
+            return d, jnp.where(i >= 0, i + s0, -1)
+
+        def dead(_):
+            return (jnp.full((q_tile, k), jnp.inf, jnp.float32),
+                    jnp.full((q_tile, k), -1, jnp.int32))
+
+        # capacity-padded clouds sort their invalid tail together: whole
+        # query tiles are often masked out — skip their kernels entirely
+        return jax.lax.cond(jnp.any(qmt), live, dead, None)
 
     d_t, i_t = jax.lax.map(one_tile, (q_tiles, qm_tiles, start))
     d_sorted = d_t.reshape(n_pad, k)[:n]

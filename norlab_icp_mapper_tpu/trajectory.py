@@ -19,23 +19,41 @@ __all__ = ["Trajectory"]
 class Trajectory:
     def __init__(self, dimension: int = 3):
         self.dimension = dimension
-        self.poses: List[np.ndarray] = []
+        self._poses: List = []  # np arrays, or device arrays (lazy)
         self.timestamps: List[int] = []  # nanoseconds
+        self._has_device = False
 
-    def add_pose(self, pose: np.ndarray, timestamp_ns: int) -> None:
-        self.poses.append(np.asarray(pose, dtype=np.float32).copy())
+    def add_pose(self, pose, timestamp_ns: int) -> None:
+        """Append a pose; device arrays are accepted and fetched lazily in
+        one batched transfer on first host access (the fused pipelined
+        mapper appends per-scan poses without syncing the device)."""
+        if isinstance(pose, np.ndarray):
+            pose = np.asarray(pose, dtype=np.float32).copy()
+        else:
+            self._has_device = True
+        self._poses.append(pose)
         self.timestamps.append(int(timestamp_ns))
 
+    @property
+    def poses(self) -> List[np.ndarray]:
+        if self._has_device:
+            import jax
+            self._poses = [np.asarray(p, dtype=np.float32)
+                           for p in jax.device_get(self._poses)]
+            self._has_device = False
+        return self._poses
+
     def clear(self) -> None:
-        self.poses = []
+        self._poses = []
         self.timestamps = []
+        self._has_device = False
 
     def __len__(self) -> int:
-        return len(self.poses)
+        return len(self._poses)
 
     def positions(self) -> np.ndarray:
         d = self.dimension
-        if not self.poses:
+        if not self._poses:
             return np.zeros((0, d), np.float32)
         return np.stack([p[:d, d] for p in self.poses])
 

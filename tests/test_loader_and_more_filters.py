@@ -53,8 +53,9 @@ def test_scan_loader_order_and_content(tmp_path, rng):
         clouds.append(pos)
     loader = ScanLoader(paths, extras=list(range(5)), prefetch=3)
     seen = list(loader)
-    assert [e for _, e in seen] == [0, 1, 2, 3, 4]
-    for (batch, _), pos in zip(seen, clouds):
+    assert [e for _, _, e in seen] == [0, 1, 2, 3, 4]
+    assert [n for _, n, _ in seen] == [20, 21, 22, 23, 24]
+    for (batch, _, _), pos in zip(seen, clouds):
         np.testing.assert_allclose(batch.to_numpy()["positions"], pos,
                                    rtol=1e-5, atol=1e-5)
     loader.close()
