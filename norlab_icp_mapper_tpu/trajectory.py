@@ -58,6 +58,15 @@ class Trajectory:
         return np.stack([p[:d, d] for p in self.poses])
 
     def save(self, filename: str) -> None:
+        """Write poses as a VTK point file (reference ``Trajectory.cpp:15-53``:
+        positions as features, rotation columns as orientation descriptors,
+        time channel).
+
+        Timestamps are nanosecond epoch integers; a single float32 (or even
+        float64) channel cannot hold 2026-epoch nanoseconds exactly, so the
+        time channel is split ROS-style into ``t_sec`` + ``t_nsec`` double
+        columns — both exactly representable, asserting lossless round-trip
+        (see ``Trajectory.load``)."""
         d = self.dimension
         n = len(self.poses)
         pos = self.positions()
@@ -66,5 +75,29 @@ class Trajectory:
         for col, name in enumerate(axes):
             desc[name] = np.stack([p[:d, col] for p in self.poses]) if n else \
                 np.zeros((0, d), np.float32)
-        desc["t"] = np.asarray(self.timestamps, np.float64)[:, None].astype(np.float32)
+        t = np.asarray(self.timestamps, np.int64)
+        desc["t_sec"] = (t // 1_000_000_000).astype(np.float64)[:, None]
+        desc["t_nsec"] = (t % 1_000_000_000).astype(np.float64)[:, None]
         write_vtk(filename, pos, desc)
+
+    @staticmethod
+    def load(filename: str, dimension: int = 3) -> "Trajectory":
+        """Round-trip reader for files written by :meth:`save` (exact ns)."""
+        from .io.vtk import read_vtk
+        pos, desc = read_vtk(filename)
+        traj = Trajectory(dimension)
+        n = pos.shape[0]
+        if n == 0:
+            return traj
+        d = dimension
+        axes = ["orientationX", "orientationY", "orientationZ"][:d]
+        stamps = (desc["t_sec"][:, 0].astype(np.int64) * 1_000_000_000
+                  + desc["t_nsec"][:, 0].astype(np.int64)) \
+            if "t_sec" in desc else np.zeros(n, np.int64)
+        for i in range(n):
+            pose = np.eye(d + 1, dtype=np.float32)
+            for col, name in enumerate(axes):
+                pose[:d, col] = desc[name][i, :d]
+            pose[:d, d] = pos[i, :d]
+            traj.add_pose(pose, int(stamps[i]))
+        return traj
