@@ -33,6 +33,7 @@ from ..points import PointBatch
 from ..filters.core import FilterChain
 from ..ops.nn import knn, _use_pallas as _nn_use_pallas
 from ..ops.gridhash import build_grid, grid_hash_knn
+from ..utils.tracing import record_overflow
 
 # spatial-hash sizing for the matcher (table is [H, C] i32; candidates per
 # query = 27*C). lpm's example matcher runs with epsilon=1 — an explicit
@@ -281,12 +282,20 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
 
     smooth_len = diff_checker[2] if diff_checker else 1
 
+    # IdentityErrorMinimizer never uses the matched pairs for minimization —
+    # only the overlap (fraction matched within maxDist), for which 1-NN is
+    # equivalent to k-NN.  Searching k>1 would be pure waste (lpm pays it;
+    # the fused solve doesn't).
+    if minimizer == "IdentityErrorMinimizer":
+        k = 1
+
     # radius-capped matcher -> per-backend engine (sorted-sweep + Pallas
     # kernel on TPU, spatial hash elsewhere); the hash table is rebuilt per
     # solve only on non-TPU backends where it is cheap relative to search.
     if max_radius is not None and not _nn_use_pallas():
-        gh_table, _ = build_grid(ref_pos, ref_mask, max_radius,
-                                 H=_GH_H, C=_GH_C)
+        gh_table, gh_overflow = build_grid(ref_pos, ref_mask, max_radius,
+                                           H=_GH_H, C=_GH_C)
+        record_overflow("icp_matcher_grid", gh_overflow)
     else:
         gh_table = None
 
@@ -307,8 +316,10 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
                                     max_radius=max_radius, H=_GH_H, C=_GH_C)
         elif max_radius is not None:
             from ..ops.nn_sweep import sweep_knn
-            d2, idx = sweep_knn(p, ref_pos, cur_mask, ref_mask, k=k,
-                                max_radius=max_radius, q_tile=2048, W=8192)
+            d2, idx, overflow = sweep_knn(p, ref_pos, cur_mask, ref_mask,
+                                          k=k, max_radius=max_radius,
+                                          q_tile=2048, W=8192)
+            record_overflow("icp_matcher_sweep", overflow)
         else:
             d2, idx = knn(p, ref_pos, cur_mask, ref_mask, k=k,
                           max_radius=max_radius)

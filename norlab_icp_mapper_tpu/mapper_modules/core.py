@@ -210,12 +210,16 @@ def _dynamic_points_update(scan_pos, scan_mask, map_pos, map_mask,
 
     # angular 1-NN: map beams -> nearest scan beam, radius 2*beamHalfAngle
     # (per-backend radius engine: Pallas brute force on TPU, spatial hash
-    # over the (elevation, azimuth) plane elsewhere)
+    # over the (elevation, azimuth) plane elsewhere).  The sweep sorts by
+    # azimuth, where lidar beams spread uniformly: a 1024-query tile spans
+    # ~0.1 rad, so W=1024 comfortably covers the candidate span at typical
+    # beamHalfAngle (~0.01 rad); overflow is recorded if it doesn't.
     from ..ops.nn import radius_knn
     radius = 2.0 * beam_half_angle
     d2k, idxk = radius_knn(map_ang, scan_ang, in_range, scan_mask, k=1,
                            max_radius=radius, gh_H=1 << 14, gh_C=64,
-                           W=4096)
+                           q_tile=1024, W=1024,
+                           overflow_tag="dynamic_points_sweep")
     d2, idx = d2k[:, 0], idxk[:, 0]
     has_match = idx >= 0
     sidx = jnp.maximum(idx, 0)

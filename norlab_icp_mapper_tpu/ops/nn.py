@@ -140,7 +140,7 @@ def nn1(query, ref, query_mask=None, ref_mask=None, max_radius=None,
 
 def radius_knn(query, ref, query_mask=None, ref_mask=None, k: int = 1,
                max_radius=None, gh_H: int = 1 << 15, gh_C: int = 128,
-               q_tile: int = 2048, W: int = 8192):
+               q_tile: int = 2048, W: int = 8192, overflow_tag: str = ""):
     """Radius-capped KNN with per-backend engine selection.
 
     On TPU the sorted-sweep + Pallas kernel wins (contiguous windows, no
@@ -151,18 +151,27 @@ def radius_knn(query, ref, query_mask=None, ref_mask=None, k: int = 1,
 
     ``W`` bounds the sorted-sweep candidate window (pair work is N*W);
     callers with structure that concentrates candidates (e.g. azimuth-sorted
-    angular NN) should pass a tighter W.
+    angular NN) should pass a tighter W.  Window/bucket overflow (degraded
+    matches) is reported through ``utils.tracing.record_overflow`` under
+    ``overflow_tag`` when one is given (SURVEY "no silent caps").
     """
     if max_radius is None:
         return knn(query, ref, query_mask, ref_mask, k=k)
     if _use_pallas():
         from .nn_sweep import sweep_knn
-        return sweep_knn(query, ref, query_mask, ref_mask, k=k,
-                         max_radius=max_radius, q_tile=q_tile, W=W)
-    from .gridhash import build_grid, grid_hash_knn
-    if ref_mask is None:
-        ref_mask = jnp.ones((ref.shape[0],), bool)
-    table, _ = build_grid(ref, ref_mask, max_radius, H=gh_H, C=gh_C)
-    return grid_hash_knn(query, ref, table, max_radius,
-                         query_mask=query_mask, k=k, max_radius=max_radius,
-                         H=gh_H, C=gh_C)
+        d, idx, overflow = sweep_knn(query, ref, query_mask, ref_mask, k=k,
+                                     max_radius=max_radius, q_tile=q_tile,
+                                     W=W)
+    else:
+        from .gridhash import build_grid, grid_hash_knn
+        if ref_mask is None:
+            ref_mask = jnp.ones((ref.shape[0],), bool)
+        table, overflow = build_grid(ref, ref_mask, max_radius,
+                                     H=gh_H, C=gh_C)
+        d, idx = grid_hash_knn(query, ref, table, max_radius,
+                               query_mask=query_mask, k=k,
+                               max_radius=max_radius, H=gh_H, C=gh_C)
+    if overflow_tag:
+        from ..utils.tracing import record_overflow
+        record_overflow(overflow_tag, overflow)
+    return d, idx

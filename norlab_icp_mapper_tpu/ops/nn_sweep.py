@@ -9,9 +9,11 @@ query tile slices a fixed-width window ``W`` of the sorted refs
 (tile, window).  Pair work drops from N*M to N*W — typically 8-30x less for
 lidar maps spanning 100+ m with a 2 m matcher radius.
 
-Exactness: guaranteed when every tile's true candidate span fits in ``W``
-(the returned ``overflow`` counts tiles where it did not — those tiles
-degrade to nearest-within-window, still radius-verified).
+Exactness: guaranteed when every tile's true candidate span fits in ``W``.
+The third return value ``overflow`` counts live query tiles whose true
+candidate span exceeded ``W`` — those tiles degrade to nearest-within-window
+(still radius-verified).  Callers must surface it (SURVEY "no silent caps");
+``ops.nn.radius_knn`` forwards it to ``utils.tracing.record_overflow``.
 """
 from __future__ import annotations
 
@@ -38,8 +40,11 @@ def sweep_knn(
     q_tile: int = 4096,
     W: int = 8192,
     use_pallas: bool = True,
-) -> Tuple[jax.Array, jax.Array]:
-    """Radius-capped KNN via the sorted sweep.  Output contract of ``knn``."""
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Radius-capped KNN via the sorted sweep.
+
+    Returns ``(dists2 [N, k], idx [N, k], overflow i32)`` — ``overflow`` is
+    the number of live query tiles whose candidate span exceeded ``W``."""
     n, dim = query.shape
     m = ref.shape[0]
     if query_mask is None:
@@ -72,6 +77,9 @@ def sweep_knn(
     tile_max = jnp.max(jnp.where(qm_s.reshape(n_tiles, q_tile), qx_tiles, -BIG),
                        axis=1)
     lo = jnp.searchsorted(ref_xs, tile_min - r).astype(jnp.int32)
+    hi = jnp.searchsorted(ref_xs, tile_max + r).astype(jnp.int32)
+    live = jnp.any(qm_s.reshape(n_tiles, q_tile), axis=1)
+    overflow = jnp.sum((live & ((hi - lo) > W)).astype(jnp.int32))
     start = jnp.clip(lo, 0, jnp.maximum(m - W, 0))
 
     q_tiles = q_s.reshape(n_tiles, q_tile, dim)
@@ -115,4 +123,4 @@ def sweep_knn(
         jnp.arange(n, dtype=jnp.int32))
     d_out = d_sorted[inv]
     i_out = i_orig[inv]
-    return d_out, i_out
+    return d_out, i_out, overflow

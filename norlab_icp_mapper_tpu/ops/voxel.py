@@ -43,18 +43,33 @@ def voxel_select(
     vc = voxel_coords(positions, voxel_size)  # i32[N, D]
     invalid = ~mask
 
+    # ONE two-key stable sort instead of a 6-pass lexsort (sorts dominate
+    # the merge pipeline at map scale).  Voxel coords are rebased to the
+    # masked minimum and packed 15 bits per axis:
+    #   key_a = invalid<<30 | x<<15 | y          key_b = z<<15 | prio15
+    # Rebasing bounds them by the rolling window span (a few thousand
+    # voxels); coords clipped at 32767 may share packed keys, but grouping
+    # compares the TRUE coords below, so clipping can only under-merge
+    # (keep extra representatives), never wrongly merge distinct voxels.
+    big = jnp.int32(1 << 30)
+    vmin = jnp.min(jnp.where(mask[:, None], vc, big), axis=0)
+    rel = jnp.clip(vc - vmin, 0, 32767)
     if method == 1:
         if key is None:
             key = jax.random.PRNGKey(0)
-        prio = jax.random.uniform(key, (n,))
+        prio15 = jax.random.randint(key, (n,), 0, 1 << 15, dtype=jnp.int32)
     else:
-        prio = jnp.zeros((n,), jnp.float32)
-
-    # lexsort: last key is primary → (invalid, axes..., prio, index); stable
-    # original order within a voxel unless randomized by prio
-    keys = [jnp.arange(n), prio] + [vc[:, a] for a in range(dim - 1, -1, -1)] \
-        + [invalid.astype(jnp.int32)]
-    order = jnp.lexsort(tuple(keys))
+        prio15 = jnp.zeros((n,), jnp.int32)
+    if dim == 3:
+        key_a = (rel[:, 0] << 15) | rel[:, 1]
+        key_b = (rel[:, 2] << 15) | prio15
+    else:
+        key_a = rel[:, 0]
+        key_b = (rel[:, 1] << 15) | prio15
+    key_a = key_a | (invalid.astype(jnp.int32) << 30)
+    _, _, order = jax.lax.sort(
+        (key_a, key_b, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=2, is_stable=True)
 
     sc = vc[order]  # sorted coords
     sv = mask[order]  # sorted validity

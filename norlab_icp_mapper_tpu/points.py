@@ -34,16 +34,20 @@ _MIN_CAPACITY = 256
 
 
 def bucket_capacity(n: int) -> int:
-    """Round ``n`` up to a capacity bucket (powers of two, min 256).
+    """Round ``n`` up to a capacity bucket (quarter-power-of-two steps,
+    min 256: 256, 320, 384, 448, 512, 640, ...).
 
     Bucketing keeps the number of distinct compiled shapes logarithmic in the
     largest cloud seen, the TPU-native answer to the reference's free
-    ``conservativeResize`` (``Map.cpp:169``).
+    ``conservativeResize`` (``Map.cpp:169``).  Quarter steps cap padding
+    waste at 25% (pure powers of two waste up to 2x, which directly inflates
+    every capacity-proportional pass: sorts, scatters, elementwise filters).
     """
-    c = _MIN_CAPACITY
-    while c < n:
-        c *= 2
-    return c
+    if n <= _MIN_CAPACITY:
+        return _MIN_CAPACITY
+    p = 1 << (int(n).bit_length() - 1)  # largest power of two <= n
+    step = p // 4
+    return -(-n // step) * step
 
 
 @jax.tree_util.register_dataclass

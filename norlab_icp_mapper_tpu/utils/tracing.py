@@ -25,7 +25,50 @@ import jax
 import numpy as np
 
 __all__ = ["StageTimer", "trace", "start_profiler", "stop_profiler",
-           "IterationInspector"]
+           "IterationInspector", "set_overflow_sink", "record_overflow",
+           "overflow_totals"]
+
+
+# --------------------------------------------------------------------- caps
+# SURVEY "no silent caps": every capacity-bounded op (sweep windows, grid
+# buckets, insert headroom) reports its overflow counter here.  The sink is
+# OFF by default (record_overflow traces to nothing); installing one makes
+# subsequently-traced programs emit an async host callback per call site.
+# NOTE: already-compiled programs keep the behavior they were traced with —
+# install the sink before building the mapper/engine you want to observe.
+
+_overflow_sink = None
+_overflow_totals: Dict[str, int] = defaultdict(int)
+
+
+def set_overflow_sink(fn) -> None:
+    """Install ``fn(name: str, value: int)`` as the overflow sink (None to
+    disable).  Pass ``set_overflow_sink(accumulate_overflow)`` to count into
+    ``overflow_totals()``."""
+    global _overflow_sink
+    _overflow_sink = fn
+
+
+def accumulate_overflow(name: str, value: int) -> None:
+    _overflow_totals[name] += int(value)
+
+
+def overflow_totals() -> Dict[str, int]:
+    return dict(_overflow_totals)
+
+
+def record_overflow(name: str, value) -> None:
+    """Report a traced overflow counter (no-op unless a sink is installed
+    at trace time; emits an async ``jax.debug.callback`` otherwise)."""
+    if _overflow_sink is None:
+        return
+
+    def _emit(v, _n=name):
+        sink = _overflow_sink
+        if sink is not None:
+            sink(_n, int(v))
+
+    jax.debug.callback(_emit, value)
 
 
 class StageTimer:

@@ -8,8 +8,9 @@ from norlab_icp_mapper_tpu.ops.nn_sweep import sweep_knn
 def test_sweep_matches_bruteforce(rng):
     q = jnp.asarray(rng.uniform(-30, 30, size=(700, 3)).astype(np.float32))
     r = jnp.asarray(rng.uniform(-30, 30, size=(3000, 3)).astype(np.float32))
-    d_s, i_s = sweep_knn(q, r, k=3, max_radius=2.0, q_tile=128, W=2048,
-                         use_pallas=False)
+    d_s, i_s, ov = sweep_knn(q, r, k=3, max_radius=2.0, q_tile=128,
+                             W=2048, use_pallas=False)
+    assert int(ov) == 0
     d_b, i_b = _knn_xla(q, r, k=3, max_radius=jnp.float32(2.0))
     np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_b))
     both = np.isfinite(np.asarray(d_b))
@@ -23,8 +24,8 @@ def test_sweep_masks(rng):
                              np.float32))
     rmask = jnp.asarray([True, False, True])
     qmask = jnp.asarray([True, False])
-    d, i = sweep_knn(q, r, query_mask=qmask, ref_mask=rmask, k=1,
-                     max_radius=1.0, q_tile=128, W=256, use_pallas=False)
+    d, i, _ = sweep_knn(q, r, query_mask=qmask, ref_mask=rmask, k=1,
+                        max_radius=1.0, q_tile=128, W=256, use_pallas=False)
     assert int(i[0, 0]) == 0  # masked nearer ref excluded
     assert int(i[1, 0]) == -1  # masked query
 
@@ -32,8 +33,8 @@ def test_sweep_masks(rng):
 def test_sweep_2d(rng):
     q = jnp.asarray(rng.uniform(-10, 10, size=(200, 2)).astype(np.float32))
     r = jnp.asarray(rng.uniform(-10, 10, size=(800, 2)).astype(np.float32))
-    d_s, i_s = sweep_knn(q, r, k=2, max_radius=1.5, q_tile=128, W=1024,
-                         use_pallas=False)
+    d_s, i_s, _ = sweep_knn(q, r, k=2, max_radius=1.5, q_tile=128,
+                            W=1024, use_pallas=False)
     d_b, i_b = _knn_xla(q, r, k=2, max_radius=jnp.float32(1.5))
     np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_b))
 
@@ -45,8 +46,8 @@ def test_sweep_pallas_interp(rng):
     q = jnp.asarray(rng.uniform(-5, 5, size=(2000, 3)).astype(np.float32))
     r = jnp.asarray(rng.uniform(-5, 5, size=(1200, 3)).astype(np.float32))
     with pltpu.force_tpu_interpret_mode():
-        d_s, i_s = sweep_knn(q, r, k=2, max_radius=1.0, q_tile=256, W=1024,
-                             use_pallas=True)
+        d_s, i_s, _ = sweep_knn(q, r, k=2, max_radius=1.0, q_tile=256,
+                                W=1024, use_pallas=True)
     d_b, i_b = _knn_xla(q, r, k=2, max_radius=jnp.float32(1.0))
     # f32 rounding differs slightly between the kernel and the oracle, so
     # near-ties may swap order and pairs with d2 ~ radius^2 may flip in/out
@@ -65,3 +66,13 @@ def test_sweep_pallas_interp(rng):
             if i_s_np[row, kk] >= 0:
                 true_d = np.sum((qn[row] - rn[i_s_np[row, kk]]) ** 2)
                 assert abs(true_d - float(d_s[row, kk])) < 1e-3
+
+
+def test_sweep_overflow_reported(rng):
+    # x collapsed: every ref is a candidate for every tile, span >> W
+    pts = rng.normal(size=(600, 3)).astype(np.float32)
+    pts[:, 0] *= 0.001
+    q = jnp.asarray(pts)
+    _, _, ov = sweep_knn(q, q, k=1, max_radius=1.0, q_tile=128, W=256,
+                         use_pallas=False)
+    assert int(ov) > 0

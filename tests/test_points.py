@@ -8,8 +8,13 @@ from norlab_icp_mapper_tpu.points import (
 def test_bucket_capacity():
     assert bucket_capacity(1) == 256
     assert bucket_capacity(256) == 256
-    assert bucket_capacity(257) == 512
-    assert bucket_capacity(41400) == 65536
+    assert bucket_capacity(257) == 320  # quarter-pow2 steps, <=25% waste
+    assert bucket_capacity(41400) == 49152
+    assert bucket_capacity(120990) == 131072
+    assert bucket_capacity(163000) == 163840
+    for n in (300, 5000, 41400, 120990, 163000):
+        c = bucket_capacity(n)
+        assert c >= n and (c - n) <= n // 4 + 256
 
 
 def test_from_numpy_roundtrip(rng):
