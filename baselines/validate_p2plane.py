@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Registration-quality validation: does the Gauss-Newton point-to-plane path
+correct wrong pose priors on REAL data?
+
+VERDICT r1: the only real-data parity check ran the reference example config,
+whose minimizer is Identity, so "trajectory ATE is 0 by construction".  This
+script exercises the flagship correction path
+(``/root/reference/norlab_icp_mapper/Mapper.cpp:208-223``) on the bundled
+14-scan sequence: the odometry priors (``icp_odom.csv``) are perturbed with
+known, seeded SE(3) noise and the mapper must register each scan back to the
+map built so far.  Reported ATE compares the *recovered* trajectory against
+the clean odometry; the perturbed priors' own ATE is the yardstick.
+
+Usage:  python baselines/validate_p2plane.py [--golden] [--sigma-t 0.10]
+                                             [--sigma-r-deg 1.5]
+
+--golden writes the recovered trajectory + summary to baselines/golden/ as
+checked-in regression artifacts.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+DATA = "/root/reference/examples/data"
+HERE = os.path.dirname(os.path.abspath(__file__))
+CONFIG = os.path.join(HERE, "..", "examples", "config_p2plane.yaml")
+
+
+def perturb_poses(poses, sigma_t, sigma_r_rad, seed=7):
+    """Right-multiply each pose (except the first: the map anchor) by a
+    random small SE(3) offset — exp of a Gaussian twist."""
+    from norlab_icp_mapper_tpu import se3
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    out = [np.asarray(poses[0], np.float32)]
+    for p in poses[1:]:
+        xi = np.concatenate([rng.normal(0, sigma_t, 3),
+                             rng.normal(0, sigma_r_rad, 3)]).astype(np.float32)
+        dT = np.asarray(se3.exp_se3(jnp.asarray(xi)), np.float32)
+        out.append(dT @ np.asarray(p, np.float32))
+    return out
+
+
+def run(config, scans, hints, poses, stamps):
+    from norlab_icp_mapper_tpu import Mapper
+    mapper = Mapper(config, is_3d=True, is_online=False, is_mapping=True)
+    for batch, hint, pose, stamp in zip(scans, hints, poses, stamps):
+        filtered = mapper.apply_input_filters(batch)
+        mapper.process_input(filtered, pose, stamp, scan_valid_hint=hint)
+    mapper._drain_fused()
+    return mapper
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--golden", action="store_true",
+                    help="write golden artifacts to baselines/golden/")
+    ap.add_argument("--sigma-t", type=float, default=0.10,
+                    help="translation noise stddev per axis (m)")
+    ap.add_argument("--sigma-r-deg", type=float, default=1.5,
+                    help="rotation noise stddev per axis (deg)")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from norlab_icp_mapper_tpu import PointBatch
+    from norlab_icp_mapper_tpu.io import read_vtk, read_trajectory_csv
+    from norlab_icp_mapper_tpu.utils.metrics import ate, rpe
+
+    scans_dir = os.path.join(DATA, "scans")
+    scan_files = sorted(f for f in os.listdir(scans_dir) if f.endswith(".vtk"))
+    rows = read_trajectory_csv(os.path.join(DATA, "icp_odom.csv"))
+    clean_poses = [np.asarray(p, np.float32) for p, _ in rows]
+    stamps = [s for _, s in rows]
+    scans, hints = [], []
+    for f in scan_files:
+        pos, desc = read_vtk(os.path.join(scans_dir, f))
+        scans.append(PointBatch.from_numpy(pos, desc))
+        hints.append(pos.shape[0])
+
+    sigma_r = np.deg2rad(args.sigma_r_deg)
+    noisy_poses = perturb_poses(clean_poses, args.sigma_t, sigma_r)
+
+    mapper = run(CONFIG, scans, hints, noisy_poses, stamps)
+    rec_poses = mapper.get_trajectory().poses
+
+    clean_xyz = np.stack([p[:3, 3] for p in clean_poses])
+    noisy_xyz = np.stack([p[:3, 3] for p in noisy_poses])
+    rec_xyz = np.stack([p[:3, 3] for p in rec_poses])
+
+    prior_ate = ate(noisy_xyz, clean_xyz)
+    recovered_ate = ate(rec_xyz, clean_xyz)
+    rec_rpe_t, rec_rpe_r = rpe(rec_poses, clean_poses)
+
+    summary = {
+        "config": os.path.relpath(CONFIG, os.path.join(HERE, "..")),
+        "n_scans": len(scans),
+        "sigma_t_m": args.sigma_t,
+        "sigma_r_deg": args.sigma_r_deg,
+        "prior_ate_m": round(prior_ate, 4),
+        "recovered_ate_m": round(recovered_ate, 4),
+        "recovered_rpe_trans_m": round(rec_rpe_t, 4),
+        "recovered_rpe_rot_rad": round(rec_rpe_r, 4),
+        "improvement": round(prior_ate / max(recovered_ate, 1e-9), 2),
+    }
+    print(json.dumps(summary, indent=1))
+
+    if args.golden:
+        gold = os.path.join(HERE, "golden")
+        os.makedirs(gold, exist_ok=True)
+        mapper.get_trajectory().save(
+            os.path.join(gold, "p2plane_recovered_trajectory.vtk"))
+        with open(os.path.join(gold, "p2plane_summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"golden artifacts written to {gold}/")
+
+
+if __name__ == "__main__":
+    main()
