@@ -52,7 +52,7 @@ def run(config, scans, hints, poses, stamps):
     for batch, hint, pose, stamp in zip(scans, hints, poses, stamps):
         filtered = mapper.apply_input_filters(batch)
         mapper.process_input(filtered, pose, stamp, scan_valid_hint=hint)
-    mapper._drain_fused()
+    mapper.drain()
     return mapper
 
 
