@@ -76,7 +76,7 @@ def main():
             filtered = mapper.apply_input_filters(batch)
             mapper.process_input(filtered, pose, stamp + off,
                                  scan_valid_hint=hint)
-    mapper._drain_fused()
+    mapper.drain()
 
     # steady-state operands
     local = mapper.map.local

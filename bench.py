@@ -19,7 +19,25 @@ every XLA program (persisted to the compile cache); the timed passes re-run
 the full per-scan pipeline — input filtering, ICP registration, conditional
 map merge, trajectory bookkeeping — on a mapper whose programs are all
 compiled, skipping the first two scans (bootstrap + capacity-variant
-traces).
+traces).  This measures warm steady-state throughput on a saturated map —
+the long-running-deployment regime — not cold single-pass cost.
+
+Fairness (Identity short-circuit): the example config's minimizer is
+IdentityErrorMinimizer, under which BOTH sides of the comparison run exactly
+ONE matcher pass per scan — ``baselines/reference_cpu.py`` builds one
+kd-tree and runs one 6-NN query (reference_cpu.py:164-166), and the fused
+engine marks the solve converged after one iteration
+(icp/engine.py: IdentityErrorMinimizer sets done after iteration 1).  The
+actual reference would run its counter checker to 10 identical match
+iterations (examples/config.yaml:65-67), so the measured CPU baseline is
+FASTER than the real reference and ``vs_baseline`` is conservative.
+
+Secondary keys in the same JSON line (BASELINE.json metric 3):
+  icp_iter_ms_p50      p50 device ms of one ICP iteration (match+minimize)
+                       at steady-state map/scan shapes
+  online_latency_p50_ms p50 ms from process_input() dispatch to the
+                       corrected pose being readable, online split-program
+                       mode (register/merge decoupled) at steady state
 """
 import json
 import os
@@ -60,7 +78,7 @@ def run_pass(mapper, scans, hints, poses, stamp_offset_ns):
         filtered = mapper.apply_input_filters(batch)
         mapper.process_input(filtered, pose, stamp + stamp_offset_ns,
                              scan_valid_hint=hint)
-    mapper._drain_fused()
+    mapper.drain()
     return time.perf_counter() - t0
 
 
@@ -97,6 +115,50 @@ def main():
                               int((r + 2) * 2e9)))
     scans_per_sec = len(scans) / float(np.median(walls))
 
+    # --- secondary: p50 of one ICP iteration at steady-state shapes
+    import jax.numpy as jnp
+    from norlab_icp_mapper_tpu import se3
+    local = mapper.map.local
+    ref = mapper.icp._ref
+    scan7 = mapper.apply_input_filters(scans[7])
+    scan_m = jax.jit(se3.apply)(jnp.asarray(poses[7][0], np.float32), scan7)
+    ref_normals = ref.descriptors.get(
+        "normals", jnp.zeros_like(ref.positions))
+    solve = mapper.icp._get_solve(scan7.capacity, ref.capacity)
+    key = jax.random.PRNGKey(0)
+
+    def run_solve():
+        out = solve(scan_m.positions, scan_m.mask, ref.positions,
+                    ref_normals, ref.mask, key)
+        jax.block_until_ready(out)
+        return out
+
+    run_solve()  # warm
+    ts, iters = [], 1
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = run_solve()
+        ts.append(time.perf_counter() - t0)
+        iters = max(1, int(np.asarray(out[2])))
+    icp_iter_ms = float(np.median(ts)) * 1e3 / iters
+
+    # --- secondary: online pose latency (register/merge split programs)
+    from norlab_icp_mapper_tpu import Mapper
+    online = Mapper(CONFIG, is_3d=True, is_online=True, is_mapping=True)
+    run_pass(online, scans, hints, poses, 0)  # warm + bootstrap
+    lats = []
+    for r in range(2):
+        for batch, hint, (pose, stamp) in zip(scans, hints, poses):
+            filtered = online.apply_input_filters(batch)
+            t0 = time.perf_counter()
+            online.process_input(filtered, pose, stamp + int((r + 1) * 2e9),
+                                 scan_valid_hint=hint)
+            jax.block_until_ready(online.pose)  # consumer reads the pose NOW
+            lats.append(time.perf_counter() - t0)
+    online.drain()
+    online.shutdown()
+    online_p50_ms = float(np.median(lats[2:])) * 1e3
+
     baseline = get_baseline()
     base = baseline.get("scans_per_sec_cpu", float("nan"))
     print(json.dumps({
@@ -104,6 +166,8 @@ def main():
         "value": round(scans_per_sec, 3),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / base, 3),
+        "icp_iter_ms_p50": round(icp_iter_ms, 2),
+        "online_latency_p50_ms": round(online_p50_ms, 2),
     }))
 
 

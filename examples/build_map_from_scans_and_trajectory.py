@@ -60,7 +60,7 @@ def main(data_path: str, config_path: str, out_dir: str = None,
         per_scan.append(dt)
         if verbose:
             print(f"{scan_files[i]}: {dt * 1e3:.1f} ms", flush=True)
-    mapper._drain_fused()  # pipelined mode: wall time includes device work
+    mapper.drain()  # pipelined mode: wall time includes device work
     total = time.perf_counter() - t_start
     loader.close()
 

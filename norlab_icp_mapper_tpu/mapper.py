@@ -106,13 +106,15 @@ class Mapper:
             concurrent.futures.ThreadPoolExecutor(max_workers=1)
             if is_online else None)
 
-        # fused pipelined hot path (offline): one XLA program per scan,
+        # fused pipelined hot path: one XLA program per scan offline, a
+        # register + merge program pair online (pose available after the
+        # solve, merge decoupled — reference Mapper.cpp:248-255,280-287);
         # host reads scan i-1's tiny outputs while scan i computes
-        self._use_fused = (not is_online
-                           and os.environ.get("NIM_NO_FUSED", "") == "")
+        self._use_fused = os.environ.get("NIM_NO_FUSED", "") == ""
         self._fused: Optional[FusedScanStep] = None
         self._fused_state = None
         self._fused_prev = None  # (pose_dev, count_dev, merged_dev)
+        self._fused_prev_stamp_ns: Optional[int] = None
         self._fused_count_ub: Optional[int] = None
         self._pending_window: list = []
         self._epoch_ns: Optional[int] = None
@@ -303,10 +305,41 @@ class Mapper:
             new_cap = bucket_capacity(self._fused_count_ub + headroom)
             bufs = {k: v.pad_to(new_cap) for k, v in bufs.items()}
 
+        # f32 seconds relative to the session epoch: exact to well under the
+        # delay-condition scale for multi-day sessions (resolution at 1e5 s
+        # is ~8 ms); the authoritative merge timestamps are tracked host-side
+        # in exact integer ns at harvest time (below)
         stamp_s = jnp.float32((int(timestamp_ns) - self._epoch_ns) * 1e-9)
-        new_bufs, new_meta, aux = self._fused(
-            bufs, meta, scan, jnp.asarray(estimated_pose), stamp_s,
-            jnp.asarray(self.is_mapping), self._next_key())
+        key = self._next_key()
+        try:
+            if self.is_online:
+                # split programs: pose is an output of the FIRST program, so
+                # get_pose() blocks only on the solve, not the merge
+                new_meta, aux = self._fused.register(
+                    bufs, meta, scan, jnp.asarray(estimated_pose), stamp_s,
+                    jnp.asarray(self.is_mapping), key)
+                new_bufs, count = self._fused.merge(
+                    bufs, scan, aux["correction"], new_meta["pose"],
+                    aux["merged"], key)
+                aux = dict(aux, count=count)
+            else:
+                new_bufs, new_meta, aux = self._fused(
+                    bufs, meta, scan, jnp.asarray(estimated_pose), stamp_s,
+                    jnp.asarray(self.is_mapping), key)
+        except Exception as e:
+            # the map/ref buffers were donated to a program that failed —
+            # they may already be invalid. Drop every handle that aliases
+            # them so later accessors fail loudly instead of touching
+            # deleted device memory (ADVICE r1).
+            self._fused_state = None
+            self._fused_prev = None
+            self.map.local = None
+            self.map._known_count = 0
+            self.icp._ref = None
+            raise RuntimeError(
+                "fused scan step failed mid-dispatch; the device-resident "
+                "map state was donated and is unrecoverable — rebuild the "
+                "Mapper or set_map() before continuing") from e
         self._fused_state = (new_bufs, new_meta)
         self._fused_count_ub += headroom  # provisional until next harvest
 
@@ -320,21 +353,36 @@ class Mapper:
 
         # harvest scan i-1's mirrors while scan i computes on device
         if self._fused_prev is not None:
-            pose_prev, count_prev, merged_prev = jax.device_get(
-                self._fused_prev)
-            self._fused_count_ub = int(count_prev) + headroom
-            self.map._known_count = int(count_prev)  # one scan stale
-            if bool(merged_prev):
-                self.map.new_local_available = True
-            upd = self.map.update_pose(np.asarray(pose_prev), defer=True)
-            if upd:
-                self._pending_window.extend(upd)
+            self._harvest_prev(headroom)
         self._fused_prev = (new_meta["pose"], aux["count"], aux["merged"])
+        self._fused_prev_stamp_ns = int(timestamp_ns)
+
+    def _harvest_prev(self, headroom: int) -> None:
+        """Read scan i-1's tiny mirrors (pose, count, merged) and fold them
+        into host bookkeeping.  Merge timestamps/poses are recorded here in
+        EXACT integer ns / full precision from the host-side stamp of that
+        scan — the in-program f32 ``last_t`` is only the delay-gate operand,
+        never read back (ADVICE r1: f32 drift)."""
+        pose_prev, count_prev, merged_prev = jax.device_get(self._fused_prev)
+        self._fused_count_ub = int(count_prev) + headroom
+        self.map._known_count = int(count_prev)  # one scan stale
+        if bool(merged_prev):
+            self.map.new_local_available = True
+            self.last_time_map_was_updated = self._fused_prev_stamp_ns
+            self.last_pose_where_map_was_updated = np.asarray(pose_prev)
+        upd = self.map.update_pose(np.asarray(pose_prev), defer=True)
+        if upd:
+            self._pending_window.extend(upd)
+        self._fused_prev = None
 
     def _ensure_fused_state(self):
         if self._fused is None:
             self._fused = FusedScanStep(self)
         if self._fused_state is None:
+            # rebase the f32 session epoch so in-program relative seconds
+            # stay small no matter how long the mapper has been alive
+            if np.isfinite(self.last_time_map_was_updated):
+                self._epoch_ns = int(self.last_time_map_was_updated)
             local = self.map.get_local_point_cloud()
             ref = getattr(self.icp, "_ref", None)
             pose = (self.pose if self.pose is not None
@@ -348,29 +396,21 @@ class Mapper:
             self._fused_count_ub = self.map._known_count
         return self._fused_state
 
+    def drain(self) -> None:
+        """Flush the pipelined hot path: block until all in-flight per-scan
+        programs finish and host bookkeeping (pose, map count, rolling
+        window) is current.  Call before reading final results; the offline
+        drivers and bench call it at end of sequence."""
+        self._drain_fused()
+
     def _drain_fused(self) -> None:
         """Sync point: harvest in-flight mirrors, apply deferred window
         updates, hand device state back to Map/ICP host bookkeeping."""
         if self._fused_prev is not None:
-            pose_prev, count_prev, merged_prev = jax.device_get(
-                self._fused_prev)
-            self.map._known_count = int(count_prev)
-            self._fused_count_ub = int(count_prev)
-            if bool(merged_prev):
-                self.map.new_local_available = True
-            upd = self.map.update_pose(np.asarray(pose_prev), defer=True)
-            if upd:
-                self._pending_window.extend(upd)
-            self._fused_prev = None
+            self._harvest_prev(headroom=0)
         if self._fused_state is not None:
             bufs, meta = self._fused_state
-            last_pose, last_t, pose = jax.device_get(
-                (meta["last_pose"], meta["last_t"], meta["pose"]))
-            self.last_pose_where_map_was_updated = np.asarray(last_pose)
-            if np.isfinite(last_t):
-                self.last_time_map_was_updated = \
-                    float(last_t) * 1e9 + self._epoch_ns
-            self.pose = np.asarray(pose)
+            self.pose = np.asarray(jax.device_get(meta["pose"]))
             self.overlap = float(jax.device_get(self.overlap)) \
                 if not isinstance(self.overlap, float) else self.overlap
             self.map.local = bufs["map"]
