@@ -1,0 +1,145 @@
+"""Device-resident sharded map (VERDICT r1 item 3).
+
+The map lives as mesh-sharded HBM blocks; the whole per-scan step
+(registration + insert gate + voxel decimation + halo-exchange normals)
+is ONE shard_map program.  Tests (on the 8-device virtual CPU mesh):
+
+  - e2e: noisy odometry corrected, map grows and stays voxel-unique
+  - zero host round-trips per scan: process_input never calls
+    jax.device_get / PointBatch.to_numpy after bootstrap
+  - layout invariance: the set of occupied voxels matches a 1-shard run
+    exactly (insert gate is pmin-global, voxels never straddle shards)
+"""
+import numpy as np
+import pytest
+import jax
+
+from norlab_icp_mapper_tpu import PointBatch
+from norlab_icp_mapper_tpu.parallel import (
+    make_mesh, ShardedMapConfig, ShardedMapper)
+
+
+def make_world(rng, n=1200):
+    floor = np.stack([rng.uniform(0, 40, n), rng.uniform(-6, 6, n),
+                      np.zeros(n)], 1)
+    wall1 = np.stack([rng.uniform(0, 40, n), np.full(n, -6.0),
+                      rng.uniform(0, 4, n)], 1)
+    wall2 = np.stack([rng.uniform(0, 40, n), np.full(n, 6.0),
+                      rng.uniform(0, 4, n)], 1)
+    # cross walls every 5 m constrain the along-corridor direction (a bare
+    # corridor leaves x in the point-to-plane null space)
+    cross = []
+    m = n // 8
+    for xc in np.arange(0.0, 41.0, 5.0):
+        cross.append(np.stack([np.full(m, xc), rng.uniform(-6, -3, m),
+                               rng.uniform(0, 4, m)], 1))
+        cross.append(np.stack([np.full(m, xc), rng.uniform(3, 6, m),
+                               rng.uniform(0, 4, m)], 1))
+    return np.concatenate([floor, wall1, wall2] + cross).astype(np.float32)
+
+
+def scan_at(world, pose, radius=10.0, cap=2048):
+    d = np.linalg.norm(world - pose[:3, 3], axis=1)
+    pts = world[d < radius]
+    R, t = pose[:3, :3], pose[:3, 3]
+    local = ((pts - t) @ R).astype(np.float32)
+    return PointBatch.from_numpy(local[:cap])
+
+
+def pose_at(x):
+    p = np.eye(4, dtype=np.float32)
+    p[0, 3] = x
+    return p
+
+
+def cfg(**kw):
+    base = dict(dim=3, cell_size=4.8, voxel_size=0.3,
+                min_dist_new_point=0.0, normal_radius=1.5,
+                normal_min_knn=4, match_max_dist=1.0, max_iter=8,
+                minimizer="PointToPlaneErrorMinimizer",
+                update_condition="delay", update_value=0.05,
+                halo_capacity=2048, sampling_method=0)
+    base.update(kw)
+    return ShardedMapConfig(**base)
+
+
+def drive(mapper, world, xs, noise=None):
+    for i, x in enumerate(xs):
+        pose = pose_at(x)
+        est = pose.copy()
+        if noise is not None and i > 0:
+            est[:3, 3] += noise[i]
+        scan = scan_at(world, pose)
+        mapper.process_input(scan, est, stamp_s=float(i) * 0.1)
+    return mapper
+
+
+def test_sharded_e2e_corrects_and_grows(rng):
+    world = make_world(rng)
+    mesh = make_mesh()
+    noise = rng.normal(0, 0.15, size=(8, 3)).astype(np.float32)
+    mapper = ShardedMapper(mesh, cfg(max_iter=12))
+    drive(mapper, world, np.arange(2.0, 18.0, 2.0), noise=noise)
+    m = mapper.drain()
+    assert m["count"] > 500
+    assert m["insert_overflow"] == 0
+    assert m["halo_overflow"] == 0
+    # recovered pose beats the noisy prior decisively
+    final_true = pose_at(16.0)
+    err = np.linalg.norm(mapper.get_pose()[:3, 3] - final_true[:3, 3])
+    prior = np.linalg.norm(noise[-1])
+    assert err < 0.6 * prior, (err, prior)
+    # voxel uniqueness held globally
+    out = mapper.get_map()
+    vox = np.floor(out["positions"] / 0.3).astype(np.int64)
+    uniq = np.unique(vox, axis=0)
+    assert uniq.shape[0] == vox.shape[0]
+    # normals populated (including across shard boundaries)
+    nn = np.linalg.norm(out["normals"], axis=1)
+    assert (nn > 0.5).mean() > 0.8
+
+
+def test_no_host_roundtrip_per_scan(rng, monkeypatch):
+    world = make_world(rng)
+    mapper = ShardedMapper(make_mesh(), cfg())
+    # bootstrap is allowed one host pass
+    mapper.process_input(scan_at(world, pose_at(2.0)), pose_at(2.0), 0.0)
+
+    calls = []
+    real_get = jax.device_get
+
+    def spy(x):
+        calls.append(x)
+        return real_get(x)
+
+    monkeypatch.setattr(jax, "device_get", spy)
+    monkeypatch.setattr(PointBatch, "to_numpy",
+                        lambda self: (_ for _ in ()).throw(
+                            AssertionError("to_numpy in the scan loop")))
+    for i, x in enumerate(np.arange(4.0, 12.0, 2.0)):
+        mapper.process_input(scan_at(world, pose_at(x)), pose_at(x),
+                             0.1 * (i + 1))
+    assert calls == [], "map-sized host transfers in the per-scan loop"
+
+
+def test_shard_layout_invariance(rng):
+    """The merge path (insert gate + voxel decimation) must produce the
+    same occupied-voxel set regardless of the shard count.  Identity
+    minimizer: the registration correction is exactly identity in both
+    layouts, so any divergence would be a sharding bug (with a real solve,
+    psum reduction order perturbs the correction at the 1e-5 level and
+    points on voxel edges flip — registration fp, not sharding)."""
+    world = make_world(rng)
+    xs = np.arange(2.0, 14.0, 2.0)
+
+    maps = []
+    for n_dev in (1, 8):
+        mapper = ShardedMapper(make_mesh(n_dev),
+                               cfg(minimizer="IdentityErrorMinimizer"))
+        drive(mapper, world, xs)
+        mapper.drain()
+        out = mapper.get_map()
+        vox = np.floor(out["positions"] / 0.3).astype(np.int64)
+        maps.append({tuple(v) for v in vox})
+    assert maps[0] == maps[1], (
+        len(maps[0] - maps[1]), len(maps[1] - maps[0]), len(maps[0]))
