@@ -120,6 +120,12 @@ class Mapper:
         self._epoch_ns: Optional[int] = None
         self._overlap_dev = None
 
+        # keyframes for pose-graph refinement (north-star extra; off unless
+        # enable_keyframes() is called)
+        self._kf_cfg: Optional[dict] = None
+        self._keyframes: list = []  # [(positions_dev, mask_dev, pose_np)]
+        self._kf_prev_scan = None  # scan handle matching _fused_prev
+
     # ----------------------------------------------------------------- config
     def load_config(self, config: Union[str, Dict[str, Any], None]):
         """Reference ``loadYamlConfig`` (``Mapper.cpp:59-185``)."""
@@ -356,6 +362,8 @@ class Mapper:
             self._harvest_prev(headroom)
         self._fused_prev = (new_meta["pose"], aux["count"], aux["merged"])
         self._fused_prev_stamp_ns = int(timestamp_ns)
+        if self._kf_cfg is not None:
+            self._kf_prev_scan = scan
 
     def _harvest_prev(self, headroom: int) -> None:
         """Read scan i-1's tiny mirrors (pose, count, merged) and fold them
@@ -370,6 +378,9 @@ class Mapper:
             self.map.new_local_available = True
             self.last_time_map_was_updated = self._fused_prev_stamp_ns
             self.last_pose_where_map_was_updated = np.asarray(pose_prev)
+            if self._kf_cfg is not None and self._kf_prev_scan is not None:
+                self._maybe_keyframe(self._kf_prev_scan,
+                                     np.asarray(pose_prev))
         upd = self.map.update_pose(np.asarray(pose_prev), defer=True)
         if upd:
             self._pending_window.extend(upd)
@@ -444,6 +455,13 @@ class Mapper:
         """Reference ``Mapper.cpp:274-288``."""
         self.last_time_map_was_updated = timestamp_ns
         self.last_pose_where_map_was_updated = np.asarray(pose)
+        if self._kf_cfg is not None:
+            # stepwise path merges in the MAP frame; keyframes are stored
+            # in the sensor frame like the fused path's
+            inv = np.linalg.inv(np.asarray(pose, np.float64)).astype(
+                np.float32)
+            self._maybe_keyframe(self._apply_tf(jnp.asarray(inv), scan),
+                                 np.asarray(pose))
         key = self._next_key()
         if self.is_online and not self.map.is_local_point_cloud_empty():
             self._map_update_future = self._executor.submit(
@@ -452,6 +470,82 @@ class Mapper:
         else:
             self.map.update_local_point_cloud(scan, pose, self.post_filters,
                                               key, scan_valid_hint)
+
+    # ------------------------------------------------------------ keyframes
+    def enable_keyframes(self, min_distance: float = 1.0,
+                         max_keyframes: int = 256):
+        """Record a keyframe (sensor-frame scan + corrected pose) at map
+        updates spaced at least ``min_distance`` apart — the input to
+        ``refine_trajectory`` (north-star pose-graph pass; the reference
+        has no backend optimizer)."""
+        self._kf_cfg = {"min_distance": float(min_distance),
+                        "max_keyframes": int(max_keyframes)}
+        self._keyframes = []
+
+    def _maybe_keyframe(self, scan: PointBatch, pose: np.ndarray):
+        cfg = self._kf_cfg
+        if len(self._keyframes) >= cfg["max_keyframes"]:
+            return
+        d = self.dim
+        if self._keyframes:
+            last = self._keyframes[-1][2]
+            if np.linalg.norm(pose[:d, d] - last[:d, d]) \
+                    < cfg["min_distance"]:
+                return
+        self._keyframes.append((scan.positions, scan.mask, pose))
+
+    def get_keyframes(self):
+        """Returns ``(positions [K, cap, D], masks [K, cap], poses [K])``
+        padded to a common capacity (device arrays + numpy poses)."""
+        if not self._keyframes:
+            return None
+        cap = max(int(p.shape[0]) for p, _, _ in self._keyframes)
+        pos, msk, poses = [], [], []
+        for p, m, T in self._keyframes:
+            pad = cap - int(p.shape[0])
+            pos.append(jnp.pad(p, ((0, pad), (0, 0))))
+            msk.append(jnp.pad(m, (0, pad)))
+            poses.append(T)
+        return jnp.stack(pos), jnp.stack(msk), np.stack(poses)
+
+    def refine_trajectory(self, min_index_gap: int = 5,
+                          max_dist: float = 8.0, min_overlap: float = 0.4,
+                          match_max_dist: float = 2.0,
+                          normal_radius: float = 1.0, icp_iters: int = 10,
+                          gn_iters: int = 10):
+        """Pose-graph refinement over the recorded keyframes: sequential
+        odometry edges + batched loop-closure registrations (ONE vmapped
+        device program for all candidate pairs), dense Gauss-Newton solve.
+
+        Returns ``(poses_before [K], poses_after [K], info)`` where info
+        holds the closure edges and per-iteration costs.  Requires
+        ``enable_keyframes()`` and >= 3 recorded keyframes."""
+        from .slam.pose_graph import (
+            sequential_edges, detect_loop_closures_batched,
+            optimize_pose_graph)
+        self.drain()
+        kf = self.get_keyframes()
+        if kf is None or kf[2].shape[0] < 3:
+            raise RuntimeError("refine_trajectory: need >= 3 keyframes "
+                               "(call enable_keyframes() before mapping)")
+        kf_pos, kf_mask, poses = kf
+        ei, ej, Z = sequential_edges(poses)
+        w = [1.0] * len(ei)
+        lei, lej, lZ, lw = detect_loop_closures_batched(
+            kf_pos, kf_mask, poses, min_index_gap=min_index_gap,
+            max_dist=max_dist, min_overlap=min_overlap,
+            match_max_dist=match_max_dist, iters=icp_iters,
+            normal_radius=normal_radius)
+        if lei:
+            ei = list(ei) + lei
+            ej = list(ej) + lej
+            Z = np.concatenate([Z, lZ])
+            w = w + lw
+        opt, costs = optimize_pose_graph(poses, ei, ej, Z, w,
+                                         iters=gn_iters)
+        info = {"loop_closures": list(zip(lei, lej)), "costs": costs,
+                "n_edges": len(ei)}
+        return poses, opt, info
 
     # ------------------------------------------------------------- accessors
     def get_map(self):
