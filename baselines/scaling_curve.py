@@ -14,7 +14,7 @@ layout properties, not device-speed properties:
                  efficiency <= balance)
   comm_kb        bytes moved by collectives per scan (analytic, from
                  shapes): ICP pmin/psum per iteration + insert-gate pmin +
-                 two halo ppermutes + scalar psums
+                 the halo all-gather + scalar psums
   compute_mflop  per-shard NN pair work per scan (map_points/S * scan *
                  ~8 flop) — the term the mesh divides
 
@@ -38,7 +38,7 @@ DATA = "/root/reference/examples/data"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stride", type=int, default=8,
+    ap.add_argument("--stride", type=int, default=16,
                     help="scan point subsample stride (CPU tractability)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
@@ -68,12 +68,12 @@ def main():
 
     results = []
     for S in (1, 2, 4, 8):
-        cfg = ShardedMapConfig(dim=3, cell_size=19.2, voxel_size=0.15,
-                               normal_radius=2.0, match_max_dist=2.0,
+        cfg = ShardedMapConfig(dim=3, cell_size=4.8, voxel_size=0.15,
+                               normal_radius=1.0, match_max_dist=2.0,
                                max_iter=1,
                                minimizer="IdentityErrorMinimizer",
                                update_condition="delay", update_value=0.05,
-                               halo_capacity=8192)
+                               halo_capacity=4096)
         mapper = ShardedMapper(make_mesh(S), cfg)
         # build the map once (also warms the compile cache)
         for i, (scan, (pose, stamp)) in enumerate(zip(scans, poses)):
@@ -85,7 +85,7 @@ def main():
         batch = PointBatch.from_numpy(scans[7])
         pose7 = poses[7][0]
         ts = []
-        for r in range(5):
+        for r in range(3):
             t0 = time.perf_counter()
             mapper.process_input(batch, pose7, 10.0 + 0.1 * r)
             mapper.drain()
@@ -103,7 +103,7 @@ def main():
         # analytic per-scan collective volume (f32 = 4 B)
         comm = (cfg.max_iter * (n_scan * 4 * 2 + (36 + 6 + 1) * 4)  # pmin+psum
                 + n_scan * 4                                # insert-gate pmin
-                + 2 * cfg.halo_capacity * (3 + 1) * 4       # halo ppermutes
+                + (S - 1) * cfg.halo_capacity * (3 + 1) * 4  # halo all-gather
                 + 64)                                       # scalar psums
         mflop = n_map / S * n_scan * 8e-6
         results.append({

@@ -174,10 +174,20 @@ class ICPEngine:
                 raise ValueError(f"unknown transformation checker '{name}'")
 
         insp = cfg.get("inspector", "NullInspector")
-        iname, _ = _single_key(insp, "inspector")
-        if iname not in ("NullInspector", "PerformanceInspector"):
-            raise ValueError(f"unknown inspector '{iname}' "
-                             "(VTKFileInspector: use mapper tracing instead)")
+        iname, ip = _single_key(insp, "inspector")
+        self.inspector = None
+        if iname == "VTKFileInspector":
+            # lpm per-iteration dump inspector: the engine switches to the
+            # stepwise debug solve (one jitted iteration per call, moved
+            # reading dumped each step) — same perf tradeoff as lpm's
+            from ..utils.tracing import IterationInspector
+            self.inspector = IterationInspector(
+                dump_dir=str(ip.get("baseFileName", "icp_inspect")))
+        elif iname == "PerformanceInspector":
+            from ..utils.tracing import IterationInspector
+            self.inspector = IterationInspector(dump_dir=None)
+        elif iname != "NullInspector":
+            raise ValueError(f"unknown inspector '{iname}'")
         self._solve_cache.clear()
 
     # -------------------------------------------------------------- state
@@ -220,13 +230,60 @@ class ICPEngine:
                 "or the mapper post filters")
         ref_normals = ref.descriptors.get(
             "normals", jnp.zeros_like(ref.positions))
-        solve = self._get_solve(reading.capacity, ref.capacity)
         if key is None:
             key = jax.random.PRNGKey(0)
+        if self.inspector is not None:
+            return self._solve_inspected(reading, ref, ref_normals, key)
+        solve = self._get_solve(reading.capacity, ref.capacity)
         correction, overlap, iters, resid = solve(
             reading.positions, reading.mask, ref.positions, ref_normals,
             ref.mask, key)
         return ICPResult(correction, overlap, iters, resid)
+
+    def _solve_inspected(self, reading, ref, ref_normals, key) -> ICPResult:
+        """Stepwise debug solve: one jitted iteration per outer step, the
+        inspector records (and, for VTKFileInspector, dumps) the moved
+        reading after every iteration — lpm's inspector contract, with
+        lpm's perf tradeoff (a host sync per iteration)."""
+        import numpy as np_
+        single = functools.partial(
+            _icp_solve, dim=self.dim, k=self.match_knn,
+            max_dist=self.match_max_dist,
+            outlier_filters=tuple(self.outlier_filters),
+            minimizer=self.minimizer, max_iter=1, diff_checker=None,
+            bound_checker=None,
+            step_filter=(self.reading_step_filters._apply_impl
+                         if len(self.reading_step_filters) else None))
+        single = jax.jit(single)
+        T = jnp.eye(self.dim + 1, dtype=jnp.float32)
+        overlap = resid = 0.0
+        it = 0
+        min_t, min_r, smooth = self.diff_checker or (0.0, 0.0, 1)
+        hist = []
+        for it in range(1, self.max_iter + 1):
+            moved = se3.apply_points(T, reading.positions)
+            dT, overlap, _, resid = single(
+                moved, reading.mask, ref.positions, ref_normals, ref.mask,
+                jax.random.fold_in(key, it))
+            T = dT @ T
+            dT_h, overlap, resid = jax.device_get((dT, overlap, resid))
+            cloud = None
+            if self.inspector.dump_dir is not None:
+                moved = se3.apply_points(T, reading.positions)
+                cloud = PointBatch(moved, reading.mask, {})
+            self.inspector.record(it, float(overlap), float(resid), cloud)
+            if self.minimizer == "IdentityErrorMinimizer":
+                break
+            d = self.dim
+            hist.append((float(np_.linalg.norm(dT_h[:d, d])),
+                         float(_rot_angle_np(dT_h[:d, :d]))))
+            if self.diff_checker is not None and len(hist) >= smooth:
+                win = hist[-smooth:]
+                if (sum(h[0] for h in win) / smooth < min_t
+                        and sum(h[1] for h in win) / smooth < min_r):
+                    break
+        return ICPResult(T, jnp.float32(overlap), jnp.int32(it),
+                         jnp.float32(resid))
 
     # ---------------------------------------------------------- internals
     def solve_partial(self):
@@ -258,6 +315,12 @@ class ICPEngine:
 # --------------------------------------------------------------------------
 # the jitted solve
 # --------------------------------------------------------------------------
+
+def _rot_angle_np(R: np.ndarray) -> float:
+    if R.shape[0] == 2:
+        return abs(float(np.arctan2(R[1, 0], R[0, 0])))
+    return float(np.arccos(np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)))
+
 
 def _rot_angle(R: jax.Array) -> jax.Array:
     d = R.shape[0]

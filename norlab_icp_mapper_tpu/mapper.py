@@ -250,6 +250,7 @@ class Mapper:
             self._epoch_ns = int(timestamp_ns)
 
         if (self._use_fused and isinstance(self.icp, ICPEngine)
+                and self.icp.inspector is None  # inspector needs stepwise
                 and (self._fused_state is not None
                      or (not self.map.first_pose_update
                          and not self.map.is_local_point_cloud_empty()))):

@@ -219,6 +219,12 @@ def insert(dst: PointBatch, src: PointBatch) -> PointBatch:
 
     dst = dst.compact()
     n = jnp.sum(dst.mask.astype(jnp.int32))
+    n_src = jnp.sum(src.mask.astype(jnp.int32))
+    # SURVEY "no silent caps": points dropped past capacity are counted
+    # (emitted when a tracing sink is installed; headroom sizing in
+    # Map.update_local_point_cloud / the fused path keeps this at 0)
+    from .utils.tracing import record_overflow
+    record_overflow("points_insert", jnp.maximum(n + n_src - cap, 0))
     slot = jnp.cumsum(src.mask.astype(jnp.int32)) - 1
     tgt = jnp.where(src.mask, n + slot, cap)  # cap -> dropped
 
