@@ -291,9 +291,13 @@ class SurfaceNormalFilter(DataPointsFilter):
     def _apply_radius_pca(self, batch, k, max_dist):
         from ..ops.pca import radius_pca
         from ..utils.tracing import record_overflow
+        # sweep window scales with the radius: a q_tile of sorted queries
+        # plus 2r of refs must fit in W (pair work is N*W, so don't pay a
+        # 2 m-sized window for sub-metre neighborhoods)
+        W = 2048 if max_dist <= 1.0 else 4096
         cnt, mean, cov, overflow = radius_pca(
             batch.positions, batch.positions, batch.mask, batch.mask,
-            max_radius=max_dist)
+            max_radius=max_dist, q_tile=1024, W=W)
         record_overflow("surface_normal_sweep", overflow)
         if batch.dim == 3:
             evals, normals = sym_eig3_smallest(cov)

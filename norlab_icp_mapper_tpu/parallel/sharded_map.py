@@ -492,16 +492,24 @@ class ShardedMapper:
     def _ensure_capacity(self, n_scan: int):
         """Grow the per-shard blocks before the worst case (every new point
         landing on one shard) could overflow.  The max-shard-count mirror
-        is harvested every HARVEST_EVERY scans so the bound stays tight."""
-        if self._since_harvest >= self.HARVEST_EVERY \
-                and self._mirrors is not None:
-            self._max_ub = int(jax.device_get(
-                self._mirrors["max_shard_count"]))
-            self._since_harvest = 0
+        is harvested every HARVEST_EVERY scans so the bound stays tight;
+        when growth looks imminent the true count is harvested FIRST so
+        provisional slack (+n_scan per un-harvested scan) never triggers a
+        phantom grow + retrace."""
+        def harvest():
+            if self._mirrors is not None and self._since_harvest > 0:
+                self._max_ub = int(jax.device_get(
+                    self._mirrors["max_shard_count"]))
+                self._since_harvest = 0
+
+        if self._since_harvest >= self.HARVEST_EVERY:
+            harvest()
         cap = self.state["pos"].shape[1]
+        if self._max_ub + n_scan > cap:
+            harvest()
         need = self._max_ub + n_scan
         if need > cap:
-            new_cap = _round_up(max(need, cap * 2), 1024)
+            new_cap = _round_up(max(need + n_scan, cap * 3 // 2), 1024)
             grow = new_cap - cap
             self.state = {
                 k: jnp.pad(v, ((0, 0), (0, grow)) + ((0, 0),) * (v.ndim - 2))
