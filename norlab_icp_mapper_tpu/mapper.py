@@ -308,6 +308,13 @@ class Mapper:
                 if self.map._known_count is not None
                 else int(jax.device_get(bufs["map"].count())))
         if self._fused_count_ub + headroom > bufs["map"].capacity:
+            # growth looks imminent — but the upper bound is provisional
+            # (+headroom per un-harvested scan); harvest the REAL count
+            # first so phantom slack never grows the buffers (every
+            # capacity-proportional pass pays for oversize forever)
+            if self._fused_prev is not None:
+                self._harvest_prev(headroom=0)
+        if self._fused_count_ub + headroom > bufs["map"].capacity:
             from .points import bucket_capacity
             new_cap = bucket_capacity(self._fused_count_ub + headroom)
             bufs = {k: v.pad_to(new_cap) for k, v in bufs.items()}

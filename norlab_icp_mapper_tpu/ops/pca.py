@@ -199,10 +199,12 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_radius", "q_tile", "W", "use_pallas"))
+                   static_argnames=("max_radius", "q_tile", "W", "use_pallas",
+                                    "self_neighborhood"))
 def _radius_pca_sweep(query, ref, query_mask, ref_mask, max_radius,
                       q_tile: int = 2048, W: int = 4096,
-                      use_pallas: bool = True):
+                      use_pallas: bool = True,
+                      self_neighborhood: bool = False):
     """Sorted-sweep radius PCA: sort both clouds by x, each query tile only
     sees the contiguous ref window within ``[tile_min - r, tile_max + r]``
     (same schedule as ``nn_sweep.sweep_knn``).  Returns
@@ -222,13 +224,25 @@ def _radius_pca_sweep(query, ref, query_mask, ref_mask, max_radius,
     ref_mask_s = ref_mask[ref_order]
     ref_xs = ref_x[ref_order]
 
-    q_x = jnp.where(query_mask, query[:, 0], BIG)
-    q_order = jnp.argsort(q_x)
+    if self_neighborhood:
+        # query IS ref (surface normals over one cloud): one argsort +
+        # one gather serve both sides — sorts dominate the merge pipeline
+        # at map scale, so this halves the pass's sort cost
+        q_x, q_order = ref_x, ref_order
+    else:
+        q_x = jnp.where(query_mask, query[:, 0], BIG)
+        q_order = jnp.argsort(q_x)
     n_pad = -(-n // q_tile) * q_tile
     pad = n_pad - n
-    q_s = jnp.pad(query[q_order], ((0, pad), (0, 0)), constant_values=BIG)
-    qm_s = jnp.pad(query_mask[q_order], (0, pad))
-    qx_s = jnp.pad(q_x[q_order], (0, pad), constant_values=BIG)
+    if self_neighborhood:  # reuse the sorted ref arrays (no second gather)
+        q_sorted, qm_sorted, qx_sorted = ref_s, ref_mask_s, ref_xs
+    else:
+        q_sorted = query[q_order]
+        qm_sorted = query_mask[q_order]
+        qx_sorted = q_x[q_order]
+    q_s = jnp.pad(q_sorted, ((0, pad), (0, 0)), constant_values=BIG)
+    qm_s = jnp.pad(qm_sorted, (0, pad))
+    qx_s = jnp.pad(qx_sorted, (0, pad), constant_values=BIG)
 
     n_tiles = n_pad // q_tile
     qx_tiles = qx_s.reshape(n_tiles, q_tile)
@@ -308,9 +322,10 @@ def radius_pca(query, ref, query_mask=None, ref_mask=None, max_radius=1.0,
 
     from .nn import _use_pallas
     if _use_pallas():
+        self_nn = query is ref and (query_mask is ref_mask)
         cnt, mean, cov, overflow = _radius_pca_sweep(
             qc, rc, query_mask, ref_mask, max_radius, q_tile=q_tile, W=W,
-            use_pallas=True)
+            use_pallas=True, self_neighborhood=self_nn)
     else:
         cnt, mean, cov = radius_pca_xla(qc, rc, query_mask, ref_mask,
                                         max_radius)
