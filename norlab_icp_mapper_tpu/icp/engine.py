@@ -238,6 +238,23 @@ class ICPEngine:
         correction, overlap, iters, resid = solve(
             reading.positions, reading.mask, ref.positions, ref_normals,
             ref.mask, key)
+        if self.bound_checker is not None:
+            # lpm's BoundTransformationChecker THROWS when the accumulated
+            # transform exceeds the bound (registration aborts, the caller
+            # sees the exception).  The device loop stops iterating at the
+            # bound; this host check reproduces the throw.  (The fused
+            # per-scan program cannot throw mid-pipeline — it keeps the
+            # partial transform; configs with a bound checker take this
+            # stepwise path automatically, see FusedScanStep gating.)
+            max_rot, max_trans = self.bound_checker
+            T_h = np.asarray(jax.device_get(correction))
+            d = self.dim
+            if (_rot_angle_np(T_h[:d, :d]) > max_rot
+                    or float(np.linalg.norm(T_h[:d, d])) > max_trans):
+                raise RuntimeError(
+                    "BoundTransformationChecker: transformation beyond bound "
+                    f"(maxRotationNorm={max_rot}, maxTranslationNorm="
+                    f"{max_trans}) — lpm aborts registration here")
         return ICPResult(correction, overlap, iters, resid)
 
     def _solve_inspected(self, reading, ref, ref_normals, key) -> ICPResult:

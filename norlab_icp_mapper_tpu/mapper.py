@@ -251,6 +251,9 @@ class Mapper:
 
         if (self._use_fused and isinstance(self.icp, ICPEngine)
                 and self.icp.inspector is None  # inspector needs stepwise
+                # lpm's bound checker THROWS on violation; only the stepwise
+                # path can raise host-side (engine __call__ reproduces it)
+                and self.icp.bound_checker is None
                 and (self._fused_state is not None
                      or (not self.map.first_pose_update
                          and not self.map.is_local_point_cloud_empty()))):

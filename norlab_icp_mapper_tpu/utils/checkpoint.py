@@ -38,8 +38,12 @@ def save_checkpoint(path: str, mapper) -> None:
                                           np.float32))
     arrays["traj_stamps"] = np.asarray(tr.timestamps, np.int64)
     arrays["last_update_pose"] = mapper.last_pose_where_map_was_updated
+    # exact int64 ns: 2026-epoch nanoseconds (~1.7e18) exceed float64's
+    # 2^53 integer range; int64-min is the "never updated" (-inf) sentinel
+    ns = mapper.last_time_map_was_updated
     arrays["last_update_ns"] = np.asarray(
-        [mapper.last_time_map_was_updated], np.float64)
+        [np.iinfo(np.int64).min if not np.isfinite(ns) else int(ns)],
+        np.int64)
     np.savez_compressed(path, **arrays)
 
 
@@ -55,6 +59,11 @@ def load_checkpoint(path: str, mapper, localization_only: bool = False) -> None:
         tr.add_pose(pose, int(stamp))
     mapper.pose = data["pose"]
     mapper.last_pose_where_map_was_updated = data["last_update_pose"]
-    mapper.last_time_map_was_updated = float(data["last_update_ns"][0])
+    raw_ns = data["last_update_ns"][0]
+    if data["last_update_ns"].dtype.kind == "f":  # legacy float64 artifact
+        mapper.last_time_map_was_updated = float(raw_ns)
+    else:
+        mapper.last_time_map_was_updated = (
+            -np.inf if int(raw_ns) == np.iinfo(np.int64).min else int(raw_ns))
     if localization_only:
         mapper.set_is_mapping(False)

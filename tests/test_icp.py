@@ -133,3 +133,33 @@ def test_reading_step_filters_subsample_each_iteration(rng):
     recovered = np.asarray(result.correction)
     # still converges (looser: only half the points participate per step)
     np.testing.assert_allclose(recovered @ T_err, np.eye(4), atol=2e-2)
+
+
+def test_bound_checker_throws_on_violation(rng):
+    """lpm's BoundTransformationChecker THROWS when the accumulated
+    transform exceeds the bound (registration aborts); the engine
+    reproduces the throw host-side after the device loop stops."""
+    cfg = dict(BASE_CFG)
+    cfg["transformationCheckers"] = [
+        {"CounterTransformationChecker": {"maxIterationCount": 30}},
+        {"BoundTransformationChecker": {
+            "maxRotationNorm": 0.01, "maxTranslationNorm": 0.01}},
+    ]
+    cloud = make_structured_cloud(rng)
+    T_err = perturbation(0.3, 0.0, seed=3)  # needs a ~0.3 m correction
+    with pytest.raises(RuntimeError, match="BoundTransformationChecker"):
+        run_icp(cfg, cloud, T_err)
+
+
+def test_bound_checker_passes_within_bound(rng):
+    cfg = dict(BASE_CFG)
+    cfg["transformationCheckers"] = [
+        {"CounterTransformationChecker": {"maxIterationCount": 30}},
+        {"BoundTransformationChecker": {
+            "maxRotationNorm": 1.0, "maxTranslationNorm": 1.0}},
+    ]
+    cloud = make_structured_cloud(rng)
+    T_err = perturbation(0.05, 0.03)
+    result, _ = run_icp(cfg, cloud, T_err)
+    np.testing.assert_allclose(
+        np.asarray(result.correction) @ T_err, np.eye(4), atol=5e-3)

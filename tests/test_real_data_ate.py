@@ -10,7 +10,8 @@ point-to-plane Gauss-Newton solve must register each scan back to the map.
 
 Runs a 6-scan subset for CI speed; the full 14-scan run is
 ``baselines/validate_p2plane.py`` (golden artifacts in ``baselines/golden/``:
-recovered ATE 0.0069 m vs prior 0.1634 m on the full sequence).
+recovered ATE 0.0115 m vs prior 0.1634 m on the full sequence —
+``p2plane_summary.json``).
 """
 import os
 
