@@ -36,6 +36,13 @@ class CellManager:
     def retrieve_cell(self, cell_id: str) -> Optional[Cell]:
         raise NotImplementedError
 
+    def remove_cell(self, cell_id: str) -> None:
+        """Delete one saved cell (sharded restore path: a retrieved cell is
+        re-inserted device-side and must leave the store so a point is never
+        both device-resident and spilled).  Not in the reference ABC —
+        the reference tracks ``loadedCellIds`` instead (``Map.cpp:105``)."""
+        raise NotImplementedError
+
     def clear_all_cells(self) -> None:
         raise NotImplementedError
 
@@ -54,6 +61,9 @@ class RAMCellManager(CellManager):
 
     def retrieve_cell(self, cell_id: str) -> Optional[Cell]:
         return self._cells.get(cell_id)
+
+    def remove_cell(self, cell_id: str) -> None:
+        self._cells.pop(cell_id, None)
 
     def clear_all_cells(self) -> None:
         self._cells = {}
@@ -89,6 +99,14 @@ class HardDriveCellManager(CellManager):
         out: Cell = {"positions": pos}
         out.update(desc)
         return out
+
+    def remove_cell(self, cell_id: str) -> None:
+        if cell_id in self._ids:
+            self._ids.discard(cell_id)
+            try:
+                os.remove(self._path(cell_id))
+            except OSError:
+                pass
 
     def clear_all_cells(self) -> None:
         for cid in list(self._ids):

@@ -32,7 +32,7 @@ from . import se3
 from .points import PointBatch, bucket_capacity
 from .cell_manager import CellManager, RAMCellManager, HardDriveCellManager
 
-__all__ = ["Map"]
+__all__ = ["Map", "bin_points_to_cells", "collect_cells_in_bounds"]
 
 CELL_SIZE = 20.0  # m (reference Map.h:31)
 BUFFER_SIZE = 2  # cells (reference Map.h:32)
@@ -55,6 +55,83 @@ def _to_inferior_grid(w: float, rng: float) -> int:
 def _to_superior_grid(w: float, rng: float) -> int:
     # reference Map.cpp:477-480
     return int(np.floor((w + rng) / CELL_SIZE))
+
+
+def bin_points_to_cells(evict: Dict[str, np.ndarray], cell_manager,
+                        dim: int) -> None:
+    """Bin evicted points into 20 m cells and save each to the cell manager,
+    merging with any existing saved content (vectorized form of the
+    reference's per-cell growable binning, ``Map.cpp:202-222``).  Shared by
+    the single-chip ``Map`` and the sharded map's eviction spill path."""
+    ev_pos = evict["positions"]
+    if ev_pos.shape[0] == 0:
+        return
+    cell_idx = np.floor(ev_pos / CELL_SIZE).astype(np.int64)
+    if dim == 2:
+        cell_idx = np.concatenate(
+            [cell_idx, np.zeros((cell_idx.shape[0], 1), np.int64)], axis=1)
+    order = np.lexsort((cell_idx[:, 2], cell_idx[:, 1], cell_idx[:, 0]))
+    sorted_cells = cell_idx[order]
+    boundaries = np.nonzero(
+        np.any(np.diff(sorted_cells, axis=0) != 0, axis=1))[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [ev_pos.shape[0]]])
+    for s, e in zip(starts, ends):
+        i, j, k = (int(v) for v in sorted_cells[s])
+        rows = order[s:e]
+        cell = {name: arr[rows] for name, arr in evict.items()}
+        cid = f"{i}_{j}_{k}"
+        existing = cell_manager.retrieve_cell(cid)
+        if existing is not None and existing["positions"].shape[0] > 0:
+            merged = {}
+            for name in cell:
+                if name in existing:
+                    merged[name] = np.concatenate(
+                        [existing[name], cell[name]])
+                else:
+                    merged[name] = cell[name]
+            cell = merged
+        cell_manager.save_cell(cid, cell)
+
+
+def collect_cells_in_bounds(cell_manager, bounds, dim: int,
+                            remove: bool = False):
+    """Gather every saved cell whose grid coordinates fall inside
+    ``bounds = (sr, er, sc, ec, sa, ea)`` into one host dict.  With
+    ``remove=True`` the collected cells are deleted from the manager (the
+    sharded restore path keeps the invariant: a point is device-resident OR
+    in exactly one saved cell, never both).  Returns ``(data | None, ids)``.
+    """
+    sr, er, sc, ec, sa, ea = bounds
+    chunks, ids = [], []
+    for cid in list(cell_manager.get_all_cell_ids()):
+        i, j, k = (int(v) for v in cid.split("_"))
+        if sr <= i <= er and sc <= j <= ec and (dim == 2 or sa <= k <= ea):
+            cell = cell_manager.retrieve_cell(cid)
+            if cell is not None and cell["positions"].shape[0] > 0:
+                chunks.append(cell)
+            ids.append(cid)
+            if remove:
+                cell_manager.remove_cell(cid)
+    if not chunks:
+        return None, ids
+    pos = np.concatenate([c["positions"] for c in chunks])
+    names = sorted({n for c in chunks for n in c if n != "positions"})
+    out = {"positions": pos}
+    for n in names:
+        parts = []
+        for c in chunks:
+            if n in c:
+                a = c[n]
+                parts.append(a if a.ndim > 1 else a[:, None])
+            else:
+                kdim = next(
+                    (cc[n].shape[1] if cc[n].ndim > 1 else 1)
+                    for cc in chunks if n in cc)
+                parts.append(
+                    np.zeros((c["positions"].shape[0], kdim), np.float32))
+        out[n] = np.concatenate(parts)
+    return out, ids
 
 
 class Map:
@@ -410,35 +487,7 @@ class Map:
                 self.loaded_cell_ids = set()
             self.new_local_available = True
 
-        ev_pos = evict["positions"]
-        if ev_pos.shape[0] == 0:
-            return
-        cell_idx = np.floor(ev_pos / CELL_SIZE).astype(np.int64)
-        if self.dim == 2:
-            cell_idx = np.concatenate(
-                [cell_idx, np.zeros((cell_idx.shape[0], 1), np.int64)], axis=1)
-        # group rows by cell id (vectorized binning, reference Map.cpp:202-222)
-        order = np.lexsort((cell_idx[:, 2], cell_idx[:, 1], cell_idx[:, 0]))
-        sorted_cells = cell_idx[order]
-        boundaries = np.nonzero(
-            np.any(np.diff(sorted_cells, axis=0) != 0, axis=1))[0] + 1
-        starts = np.concatenate([[0], boundaries])
-        ends = np.concatenate([boundaries, [ev_pos.shape[0]]])
-        for s, e in zip(starts, ends):
-            i, j, k = (int(v) for v in sorted_cells[s])
-            rows = order[s:e]
-            cell = {name: arr[rows] for name, arr in evict.items()}
-            cid = self._cell_id(i, j, k)
-            existing = self.cell_manager.retrieve_cell(cid)
-            if existing is not None and existing["positions"].shape[0] > 0:
-                merged = {}
-                for name in cell:
-                    if name in existing:
-                        merged[name] = np.concatenate([existing[name], cell[name]])
-                    else:
-                        merged[name] = cell[name]
-                cell = merged
-            self.cell_manager.save_cell(cid, cell)
+        bin_points_to_cells(evict, self.cell_manager, self.dim)
 
     # -------------------------------------------------------- global import/export
     def get_global_point_cloud(self) -> Dict[str, np.ndarray]:

@@ -67,7 +67,14 @@ class Mapper:
                  is_3d: bool = True, is_online: bool = False,
                  is_mapping: bool = True,
                  save_map_cells_on_hard_drive: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None,
+                 sharded_options: Optional[Dict[str, Any]] = None):
+        """With ``mesh`` (a ``jax.sharding.Mesh``), the SAME YAML config
+        drives the multi-chip backend: the map lives as mesh-sharded HBM
+        blocks and every per-scan pass (registration, modules, post
+        filters, rolling-window eviction) runs sharded — one facade, two
+        backends (``parallel/sharded_map.py``).  ``sharded_options``
+        overrides sharded-only knobs (cell_size, halo_capacity, ...)."""
         self.is_3d = is_3d
         self.dim = 3 if is_3d else 2
         self.is_online = is_online
@@ -125,6 +132,15 @@ class Mapper:
         self._kf_cfg: Optional[dict] = None
         self._keyframes: list = []  # [(positions_dev, mask_dev, pose_np)]
         self._kf_prev_scan = None  # scan handle matching _fused_prev
+
+        # multi-chip backend: same parsed config, map sharded over the mesh
+        self._sharded = None
+        if mesh is not None:
+            from .parallel.sharded_map import ShardedMapper
+            self._sharded = ShardedMapper.from_mapper(self, mesh,
+                                                      sharded_options)
+            self.trajectory = self._sharded.trajectory
+            self._use_fused = False
 
     # ----------------------------------------------------------------- config
     def load_config(self, config: Union[str, Dict[str, Any], None]):
@@ -246,6 +262,22 @@ class Mapper:
         scans take the stepwise path.
         """
         estimated_pose = np.asarray(estimated_pose, dtype=np.float32)
+        if self._sharded is not None:
+            read_mask = None
+            if len(self.icp.reading_filters):
+                # lpm readingDataPointsFilters: applied once per
+                # registration to the reading only (mask-only filters —
+                # e.g. RandomSampling); the merged scan stays unfiltered
+                read_mask = self.icp.reading_filters.apply(
+                    filtered_scan_in_sensor_frame, self._next_key()).mask
+            self._sharded.process_input(
+                filtered_scan_in_sensor_frame, estimated_pose,
+                timestamp_ns=int(timestamp_ns),
+                is_mapping=self.is_mapping, read_mask=read_mask)
+            self.pose = self._sharded.pose
+            if self._sharded._mirrors is not None:
+                self.overlap = self._sharded._mirrors["overlap"]
+            return
         if self._epoch_ns is None:
             self._epoch_ns = int(timestamp_ns)
 
@@ -423,6 +455,14 @@ class Mapper:
         programs finish and host bookkeeping (pose, map count, rolling
         window) is current.  Call before reading final results; the offline
         drivers and bench call it at end of sequence."""
+        if self._sharded is not None:
+            self._sharded.drain()
+            if self._sharded.pose is not None:
+                self.pose = self._sharded.get_pose()
+            if self.overlap is not None and not isinstance(
+                    self.overlap, float):
+                self.overlap = float(jax.device_get(self.overlap))
+            return
         self._drain_fused()
 
     def _drain_fused(self) -> None:
@@ -489,6 +529,10 @@ class Mapper:
         updates spaced at least ``min_distance`` apart — the input to
         ``refine_trajectory`` (north-star pose-graph pass; the reference
         has no backend optimizer)."""
+        if self._sharded is not None:
+            raise NotImplementedError(
+                "keyframes/pose-graph refinement run on the single-chip "
+                "backend (host-side keyframe store)")
         self._kf_cfg = {"min_distance": float(min_distance),
                         "max_keyframes": int(max_keyframes)}
         self._keyframes = []
@@ -560,15 +604,25 @@ class Mapper:
 
     # ------------------------------------------------------------- accessors
     def get_map(self):
+        if self._sharded is not None:
+            self.drain()
+            return self._sharded.get_map()
         self._drain_fused()
         return self.map.get_global_point_cloud()
 
     def set_map(self, new_map):
+        if self._sharded is not None:
+            self.drain()
+            self._sharded.set_map(new_map)
+            self.trajectory.clear()
+            return
         self._drain_fused()
         self.map.set_global_point_cloud(new_map)
         self.trajectory.clear()
 
     def get_new_local_map(self):
+        if self._sharded is not None:
+            return None  # no consume-once local map on the sharded backend
         self._drain_fused()
         return self.map.get_new_local_point_cloud()
 
@@ -585,6 +639,9 @@ class Mapper:
         return self.trajectory
 
     def shutdown(self):
+        if self._sharded is not None:
+            self.drain()
+            return
         self._drain_fused()
         if self._executor is not None:
             self._executor.shutdown(wait=True)

@@ -193,7 +193,6 @@ def _dynamic_points_update(scan_pos, scan_mask, map_pos, map_mask,
                            map_normals, prob_dyn, pose,
                            threshold_dynamic, alpha, beta, beam_half_angle,
                            eps_a, eps_d, sensor_max_range):
-    eps = 1e-4  # reference `eps` constant (DynamicPointsMapperModule.cpp:49)
     pose_inv = se3.inverse(pose)
     scan_s = se3.apply_points(pose_inv, scan_pos)  # sensor frame
     map_s = se3.apply_points(pose_inv, map_pos)
@@ -221,6 +220,25 @@ def _dynamic_points_update(scan_pos, scan_mask, map_pos, map_mask,
                            q_tile=1024, W=1024,
                            overflow_tag="dynamic_points_sweep")
     d2, idx = d2k[:, 0], idxk[:, 0]
+    return dynamic_points_bayes(
+        scan_s, scan_r, map_s, map_r, normals_s, prob_dyn, d2, idx, in_range,
+        threshold_dynamic, alpha, beta, beam_half_angle, eps_a, eps_d)[:, None]
+
+
+def dynamic_points_bayes(scan_s, scan_r, map_s, map_r, normals_s, prob_dyn,
+                         d2, idx, in_range, threshold_dynamic, alpha, beta,
+                         beam_half_angle, eps_a, eps_d):
+    """The visibility-weight Bayesian update given an already-computed
+    angular 1-NN (``d2``/``idx``: squared angular distance and scan index per
+    map point, ``idx < 0`` for no match within ``2*beamHalfAngle``).
+
+    Pure traceable function shared verbatim by the single-chip module above
+    and the sharded per-scan step (``parallel/sharded_map.py``) — the
+    multi-chip Bayesian update is the same math by construction.  All inputs
+    are in the SENSOR frame.  Faithful to
+    ``DynamicPointsMapperModule.cpp:82-150``.
+    """
+    eps = 1e-4  # reference `eps` constant (DynamicPointsMapperModule.cpp:49)
     has_match = idx >= 0
     sidx = jnp.maximum(idx, 0)
 
@@ -264,4 +282,4 @@ def _dynamic_points_update(scan_pos, scan_mask, map_pos, map_mask,
         eps)
     updated = p_dyn / jnp.maximum(p_dyn + p_stat, 1e-12)
     do_update = has_match & visible & in_range
-    return jnp.where(do_update, updated, prob_dyn)[:, None]
+    return jnp.where(do_update, updated, prob_dyn)

@@ -58,7 +58,8 @@ def cfg(**kw):
                 normal_min_knn=4, match_max_dist=1.0, max_iter=8,
                 minimizer="PointToPlaneErrorMinimizer",
                 update_condition="delay", update_value=0.05,
-                halo_capacity=2048, sampling_method=0)
+                halo_capacity=2048, sampling_method=0,
+                window_enabled=False)
     base.update(kw)
     return ShardedMapConfig(**base)
 
@@ -123,6 +124,163 @@ def test_no_host_roundtrip_per_scan(rng, monkeypatch):
     # only scalar mirror reads allowed (capacity-bound harvest), never
     # anything map-sized
     assert all(s <= 64 for s in sizes), sizes
+
+
+def make_long_corridor(rng, length=160.0, n_per_m=12):
+    n = int(length * n_per_m)
+    floor = np.stack([rng.uniform(0, length, n), rng.uniform(-5, 5, n),
+                      np.zeros(n)], 1)
+    wall1 = np.stack([rng.uniform(0, length, n), np.full(n, -5.0),
+                      rng.uniform(0, 3, n)], 1)
+    wall2 = np.stack([rng.uniform(0, length, n), np.full(n, 5.0),
+                      rng.uniform(0, 3, n)], 1)
+    return np.concatenate([floor, wall1, wall2]).astype(np.float32)
+
+
+def test_window_eviction_bounded_and_lossless(rng):
+    """VERDICT r2 item 1 'done' criterion: traverse >> window, per-shard
+    HBM stays bounded (capacity ceiling vs the unwindowed run), evicted
+    cells spill to the CellManager and restore losslessly on re-entry, and
+    the final occupied-voxel set matches the no-window run exactly
+    (Identity minimizer: both runs see identical inserts)."""
+    world = make_long_corridor(rng)
+    xs = list(np.arange(2.0, 158.0, 4.0))
+    xs_full = xs + xs[::-1]  # out and back: evict, then restore
+
+    def run(window: bool):
+        mapper = ShardedMapper(make_mesh(), cfg(
+            minimizer="IdentityErrorMinimizer", window_enabled=window,
+            sensor_max_range=8.0, evict_capacity=8192))
+        peak_cells = 0
+        for i, x in enumerate(xs_full):
+            pose = pose_at(x)
+            mapper.process_input(scan_at(world, pose, radius=8.0), pose,
+                                 stamp_s=0.1 * i)
+            peak_cells = max(peak_cells,
+                             len(mapper.cell_manager.get_all_cell_ids()))
+        m = mapper.drain()
+        return mapper, m, peak_cells
+
+    win, m_win, peak_cells = run(True)
+    ref, m_ref, _ = run(False)
+
+    # eviction actually happened and nothing overflowed or got lost
+    assert peak_cells > 0, "window never evicted — test geometry too small"
+    assert win.overflow_totals["evict"] == 0
+    assert m_win["insert_overflow"] == 0 and m_win["halo_overflow"] == 0
+    # bounded HBM: the windowed run's device-resident share stays below
+    # the full map, and its block capacity never exceeds the unwindowed one
+    assert win.capacity() <= ref.capacity()
+    assert m_win["count"] < m_ref["count"]
+    # lossless spill/restore: global map (device + cells) voxel-set parity
+    for out in (win.get_map(), ref.get_map()):
+        assert out["positions"].shape[0] > 0
+    vox_w = {tuple(v) for v in np.floor(
+        win.get_map()["positions"] / 0.3).astype(np.int64)}
+    vox_r = {tuple(v) for v in np.floor(
+        ref.get_map()["positions"] / 0.3).astype(np.int64)}
+    assert vox_w == vox_r, (len(vox_w - vox_r), len(vox_r - vox_w),
+                            len(vox_r))
+
+
+def test_checkpoint_kill_and_resume_bitwise(rng, tmp_path):
+    """Sharded checkpoint (VERDICT r2 item 7): raw shard blocks restore
+    verbatim, so the resumed run's subsequent poses are bitwise-identical
+    to the uninterrupted one."""
+    world = make_world(rng)
+    noise = rng.normal(0, 0.1, size=(16, 3)).astype(np.float32)
+
+    def feed(mapper, i, x):
+        pose = pose_at(x)
+        est = pose.copy()
+        est[:3, 3] += noise[i]
+        mapper.process_input(scan_at(world, pose), est,
+                             timestamp_ns=int(i * 1e8))
+        return mapper.pose
+
+    base = ShardedMapper(make_mesh(), cfg(window_enabled=True,
+                                          sensor_max_range=8.0))
+    xs = list(np.arange(2.0, 18.0, 2.0))
+    for i, x in enumerate(xs[:5]):
+        feed(base, i, x)
+    path = str(tmp_path / "sharded_ckpt.npz")
+    base.save_checkpoint(path)
+
+    cont_poses = [np.asarray(jax.device_get(feed(base, 5 + j, x)))
+                  for j, x in enumerate(xs[5:])]
+
+    resumed = ShardedMapper.load_checkpoint(
+        path, make_mesh(), cfg(window_enabled=True, sensor_max_range=8.0))
+    # trajectory round-trips exactly (poses + integer-ns stamps)
+    assert resumed.trajectory.timestamps == base.trajectory.timestamps[:5]
+    res_poses = [np.asarray(jax.device_get(feed(resumed, 5 + j, x)))
+                 for j, x in enumerate(xs[5:])]
+    for a, b in zip(cont_poses, res_poses):
+        assert np.array_equal(a, b), np.abs(a - b).max()
+
+
+def test_growth_preserves_sharding(rng):
+    """VERDICT r2 weak #4: capacity growth must keep every state leaf on
+    the cells sharding (a silent re-layout would serialize the pod path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    world = make_world(rng)
+    mapper = ShardedMapper(make_mesh(), cfg())
+    mapper.bootstrap(scan_at(world, pose_at(2.0)), pose_at(2.0),
+                     capacity=1024)
+    cap0 = mapper.capacity()
+    for i, x in enumerate(np.arange(4.0, 20.0, 2.0)):
+        mapper.process_input(scan_at(world, pose_at(x)), pose_at(x),
+                             stamp_s=0.1 * (i + 1))
+    assert mapper.capacity() > cap0, "never grew — lower the start capacity"
+    want = NamedSharding(mapper.step.mesh, P("cells"))
+    for k, v in mapper.state.items():
+        assert v.sharding.is_equivalent_to(want, v.ndim), (k, v.sharding)
+    mapper._assert_sharded()
+
+
+def test_sharded_2d(rng):
+    """ShardedMapConfig(dim=2) end to end (VERDICT r2 weak #9): SE(2)
+    distributed solve + merge on a 2-D world."""
+    n = 900
+    # square room walls in 2-D
+    t = rng.uniform(0, 30, n).astype(np.float32)
+    side = rng.integers(0, 4, n)
+    x = np.where(side == 0, t, np.where(side == 1, t, np.where(
+        side == 2, 0.0, 30.0)))
+    y = np.where(side == 0, 0.0, np.where(side == 1, 12.0, np.where(
+        side == 2, t * 0.4, t * 0.4)))
+    world = np.stack([x, y], 1).astype(np.float32)
+
+    def pose2(px):
+        T = np.eye(3, dtype=np.float32)
+        T[0, 2] = px
+        T[1, 2] = 6.0
+        return T
+
+    def scan2(pose):
+        d = np.linalg.norm(world - pose[:2, 2], axis=1)
+        pts = world[d < 10.0]
+        local = (pts - pose[:2, 2]) @ pose[:2, :2]
+        return PointBatch.from_numpy(local.astype(np.float32)[:1024])
+
+    mapper = ShardedMapper(make_mesh(), cfg(
+        dim=2, max_iter=10, normal_radius=2.0, voxel_size=0.2,
+        window_enabled=True, sensor_max_range=10.0))
+    noise = rng.normal(0, 0.1, size=(10, 2)).astype(np.float32)
+    for i, px in enumerate(np.arange(2.0, 26.0, 3.0)):
+        pose = pose2(px)
+        est = pose.copy()
+        if i > 0:
+            est[:2, 2] += noise[i]
+        mapper.process_input(scan2(pose), est, stamp_s=0.1 * i)
+    m = mapper.drain()
+    assert m["count"] > 200
+    final_true = pose2(23.0)
+    err = np.linalg.norm(mapper.get_pose()[:2, 2] - final_true[:2, 2])
+    prior = np.linalg.norm(noise[8])
+    assert err < 0.7 * prior, (err, prior)
+    out = mapper.get_map()
+    assert out["positions"].shape[1] == 2
 
 
 def test_shard_layout_invariance(rng):

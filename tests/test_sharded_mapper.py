@@ -1,35 +1,236 @@
-"""Full Mapper pipeline with the registration running on the 8-device mesh
-(BASELINE.json configs[4] logic, validated on the virtual CPU mesh)."""
+"""One facade, two backends (VERDICT r2 item 2): ``Mapper(config,
+mesh=mesh)`` runs the SAME YAML-configured pipeline with the map sharded
+over the 8-device virtual CPU mesh — registration, mapper modules
+(PointDistance gate / Octree decimation / DynamicPoints Bayesian update),
+post filters (SurfaceNormal, CutAtDescriptorThreshold), update conditions,
+and trajectory bookkeeping — with zero map-sized host transfers in the scan
+loop (spy test) and module-semantics parity vs the single-chip backend.
+"""
+import copy
+
 import numpy as np
+import jax
+import pytest
 
 from norlab_icp_mapper_tpu import Mapper, PointBatch
 from norlab_icp_mapper_tpu.parallel import make_mesh
-from norlab_icp_mapper_tpu.parallel.adapter import ShardedICPAdapter
-from tests.test_mapper_e2e import BASE_CONFIG, make_world, pose_at, scan_at
+from tests.test_mapper_e2e import make_world, pose_at, scan_at
+
+SHARDED_CONFIG = {
+    "icp": {
+        "readingDataPointsFilters": [
+            {"RandomSamplingDataPointsFilter": {"prob": 0.9}}],
+        "matcher": {"KDTreeMatcher": {"knn": 3, "maxDist": 1.0}},
+        "outlierFilters": [{"TrimmedDistOutlierFilter": {"ratio": 0.9}}],
+        "errorMinimizer": "PointToPlaneErrorMinimizer",
+        "transformationCheckers": [
+            {"CounterTransformationChecker": {"maxIterationCount": 15}},
+            {"DifferentialTransformationChecker": {
+                "minDiffRotErr": 0.001, "minDiffTransErr": 0.001,
+                "smoothLength": 4}},
+        ],
+    },
+    "input": [
+        {"AddDescriptorDataPointsFilter": {
+            "descriptorName": "probabilityDynamic",
+            "descriptorDimension": 1, "descriptorValues": [0.3]}},
+    ],
+    "post": [
+        {"SurfaceNormalDataPointsFilter": {"knn": 5, "maxDist": 1.5}},
+        {"CutAtDescriptorThresholdDataPointsFilter": {
+            "descName": "probabilityDynamic", "useLargerThan": 1,
+            "threshold": 0.95}},
+    ],
+    "mapper": {
+        "updateCondition": {"type": "delay", "value": 0.05},
+        "mapperModule": [
+            {"DynamicPointsMapperModule": {
+                "thresholdDynamic": 0.9, "alpha": 0.8, "beta": 0.99,
+                "beamHalfAngle": 0.05, "epsilonA": 0.01, "epsilonD": 0.01,
+                "sensorMaxRange": 20}},
+            {"OctreeMapperModule": {
+                "buildParallel": 1, "maxSizeByNode": 0.3,
+                "samplingMethod": 0}},
+        ],
+        "sensorMaxRange": 15,
+    },
+}
+
+OPTS = dict(cell_size=2.0, halo_capacity=2048, evict_capacity=4096)
 
 
-def test_sharded_registration_in_mapper(rng):
+def drive(mapper, world, xs, noise=None, rng=None):
+    for i, x in enumerate(xs):
+        true_pose = pose_at(x)
+        est = true_pose.copy()
+        if noise and rng is not None and i > 0:
+            est[:3, 3] += rng.normal(size=3).astype(np.float32) * noise
+        scan = PointBatch.from_numpy(scan_at(world, true_pose))
+        filtered = mapper.apply_input_filters(scan)
+        mapper.process_input(filtered, est, int(i * 1e8))
+    return mapper
+
+
+def test_facade_yaml_constructs_and_corrects(rng):
+    """The reference-schema YAML drives the sharded backend unmodified;
+    the distributed P2Plane solve corrects noisy odometry."""
     world = make_world(rng, n=900)
-    mesh = make_mesh()
-    mapper = Mapper(BASE_CONFIG, is_3d=True)
-    adapter = ShardedICPAdapter(mesh, BASE_CONFIG["icp"], dim=3,
-                                cell_size=2.0)
-    mapper.icp = adapter
-    mapper.map.icp = adapter
+    mapper = Mapper(copy.deepcopy(SHARDED_CONFIG), is_3d=True,
+                    mesh=make_mesh(), sharded_options=OPTS)
+    assert mapper._sharded is not None
+    cfg = mapper._sharded.cfg
+    # YAML -> sharded config mapping held
+    assert cfg.minimizer == "PointToPlaneErrorMinimizer"
+    assert cfg.max_iter == 15
+    assert cfg.trimmed_ratio == 0.9
+    assert cfg.diff_checker == (0.001, 0.001, 4)
+    assert cfg.voxel_size == 0.3
+    assert cfg.cut_threshold == 0.95
+    assert cfg.dynamic_points is not None
+    assert cfg.normal_radius == 1.5 and cfg.normal_min_knn == 5
+    assert cfg.update_condition == "delay" and cfg.update_value == 0.05
+    assert cfg.sensor_max_range == 15
 
-    # bootstrap
-    p0 = pose_at(2.0)
-    scan = PointBatch.from_numpy(scan_at(world, p0))
-    mapper.process_input(mapper.apply_input_filters(scan), p0, 0)
-    assert adapter.has_map()
-
-    # noisy odometry: the distributed solve must correct it
-    true_pose = pose_at(2.5)
+    drive(mapper, world, np.arange(2.0, 10.0, 1.0))
+    true_pose = pose_at(9.5)
     est = true_pose.copy()
-    est[:3, 3] += np.array([0.12, -0.08, 0.05], np.float32)
+    est[:3, 3] += np.array([0.15, -0.1, 0.08], np.float32)
     scan = PointBatch.from_numpy(scan_at(world, true_pose))
-    mapper.process_input(mapper.apply_input_filters(scan), est, int(1e8))
+    mapper.process_input(mapper.apply_input_filters(scan), est, int(1e9))
+    mapper.drain()
     err = np.linalg.norm(mapper.get_pose()[:3, 3] - true_pose[:3, 3])
     err_odo = np.linalg.norm(est[:3, 3] - true_pose[:3, 3])
     assert err < 0.5 * err_odo, (err, err_odo)
-    assert len(mapper.get_trajectory()) == 2
+    # trajectory parity: poses + exact-ns timestamps recorded
+    tr = mapper.get_trajectory()
+    assert len(tr) == 9
+    assert tr.timestamps[-1] == int(1e9)
+    assert np.allclose(tr.poses[-1][:3, 3], mapper.get_pose()[:3, 3])
+    # the map carries the full descriptor surface
+    out = mapper.get_map()
+    assert set(out) >= {"positions", "normals", "probabilityDynamic"}
+    nn = np.linalg.norm(out["normals"], axis=1)
+    assert (nn > 0.5).mean() > 0.7
+
+
+def test_example_configs_construct_on_mesh():
+    """The bundled reference-style configs construct the sharded backend
+    unmodified (VERDICT r2 item 2 'done' criterion)."""
+    for name in ("config.yaml", "config_p2plane.yaml"):
+        mapper = Mapper(f"examples/{name}", is_3d=True, mesh=make_mesh(),
+                        sharded_options=OPTS)
+        assert mapper._sharded is not None
+        assert mapper._sharded.cfg.dynamic_points is not None
+        assert mapper._sharded.cfg.cut_threshold == 0.65
+
+
+def test_unsupported_config_raises():
+    cfg = copy.deepcopy(SHARDED_CONFIG)
+    cfg["post"].append({"OrientNormalsDataPointsFilter": {"towardCenter": 1}})
+    with pytest.raises(NotImplementedError):
+        Mapper(cfg, is_3d=True, mesh=make_mesh(), sharded_options=OPTS)
+
+
+def test_no_map_sized_host_transfer_in_loop(rng, monkeypatch):
+    """Zero map-sized host transfers in the scan loop with the FULL
+    YAML-driven pipeline (extends the r2 spy test to the facade): only the
+    64-byte pose mirror and scalar harvests cross to host while the window
+    is stationary."""
+    world = make_world(rng, n=900)
+    mapper = Mapper(copy.deepcopy(SHARDED_CONFIG), is_3d=True,
+                    mesh=make_mesh(), sharded_options=OPTS)
+    scan = PointBatch.from_numpy(scan_at(world, pose_at(2.0)))
+    mapper.process_input(mapper.apply_input_filters(scan), pose_at(2.0), 0)
+
+    sizes = []
+    real_get = jax.device_get
+
+    def spy(x):
+        sizes.append(sum(np.asarray(v).nbytes
+                         for v in jax.tree.leaves(real_get(x))))
+        return real_get(x)
+
+    monkeypatch.setattr(jax, "device_get", spy)
+    monkeypatch.setattr(PointBatch, "to_numpy",
+                        lambda self: (_ for _ in ()).throw(
+                            AssertionError("to_numpy in the scan loop")))
+    for i, x in enumerate(np.arange(3.0, 10.0, 1.0)):
+        scan = PointBatch.from_numpy(scan_at(world, pose_at(x)))
+        mapper.process_input(mapper.apply_input_filters(scan), pose_at(x),
+                             int((i + 1) * 1e8))
+    # pose mirror (<=64B) and scalar harvests only
+    assert all(s <= 64 for s in sizes), sizes
+
+
+def test_dynamic_points_parity_sharded_vs_single(rng):
+    """Module-semantics parity: the sharded in-step Bayesian update equals
+    the single-chip DynamicPointsMapperModule on the same inputs (both call
+    the shared ``dynamic_points_bayes``; the NN engines must agree too)."""
+    import jax.numpy as jnp
+    from norlab_icp_mapper_tpu.mapper_modules.core import (
+        mapper_module_registry)
+    from norlab_icp_mapper_tpu.parallel import (ShardedMapConfig,
+                                                ShardedMapper)
+
+    world = make_world(rng, n=600)
+    pose = pose_at(5.0)
+    scan_np = scan_at(world, pose)
+    dp_params = {"thresholdDynamic": 0.9, "alpha": 0.8, "beta": 0.99,
+                 "beamHalfAngle": 0.05, "epsilonA": 0.01, "epsilonD": 0.01,
+                 "sensorMaxRange": 20.0}
+
+    # single-chip module on a map == world with normals
+    module = mapper_module_registry.create("DynamicPointsMapperModule",
+                                           dict(dp_params))
+    map_batch = PointBatch.from_numpy(
+        world.astype(np.float32),
+        {"normals": np.tile(np.array([0, 0, 1], np.float32), (len(world), 1)),
+         "probabilityDynamic": np.full((len(world), 1), 0.4, np.float32)})
+    scan_batch = PointBatch.from_numpy(
+        (scan_np @ pose[:3, :3].T + pose[:3, 3]).astype(np.float32),
+        {"probabilityDynamic": np.full((len(scan_np), 1), 0.4, np.float32)})
+    ref_out = module.update_map(scan_batch, map_batch,
+                                jnp.asarray(pose))
+    ref_prob = np.asarray(
+        ref_out.descriptors["probabilityDynamic"])[:, 0]
+
+    # sharded: bootstrap the same map, one merge with the same scan at the
+    # exact pose (Identity minimizer -> corrected == est == pose)
+    mesh = make_mesh()
+    cfg = ShardedMapConfig(
+        dim=3, cell_size=2.0, voxel_size=0.0, min_dist_new_point=0.0,
+        normal_radius=1.5, minimizer="IdentityErrorMinimizer",
+        update_condition="delay", update_value=0.01,
+        dynamic_points=dp_params, halo_capacity=2048,
+        window_enabled=False)
+    sm = ShardedMapper(mesh, cfg)
+    sm.bootstrap(PointBatch.from_numpy(
+        world.astype(np.float32),
+        {"normals": np.tile(np.array([0, 0, 1], np.float32),
+                            (len(world), 1)),
+         "probabilityDynamic": np.full((len(world), 1), 0.4, np.float32)}),
+        np.eye(4, dtype=np.float32))
+    sm.process_input(
+        PointBatch.from_numpy(
+            scan_np.astype(np.float32),
+            {"probabilityDynamic": np.full((len(scan_np), 1), 0.4,
+                                           np.float32)}),
+        pose, stamp_s=1.0)
+    sm.drain()
+    out = sm.get_map()
+
+    # match sharded map points back to original world rows
+    from scipy.spatial import cKDTree
+    tree = cKDTree(world)
+    d, row = tree.query(out["positions"])
+    original = d < 1e-5  # scan-inserted points have no single-chip analog
+    got = out["probabilityDynamic"][original, 0]
+    want = ref_prob[row[original]]
+    diff = np.abs(got - want)
+    # the Bayesian math is the shared dynamic_points_bayes on both paths;
+    # the two NN engines (sorted-sweep vs tiled brute force) may disagree
+    # on radius-boundary/tie beams for a sub-percent fraction of points
+    assert (diff < 2e-5).mean() > 0.99, (diff.max(), (diff >= 2e-5).sum())
+    assert diff.max() < 0.1
+    # and the update actually moved some probabilities
+    assert np.abs(ref_prob - 0.4).max() > 0.01
