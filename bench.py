@@ -33,8 +33,15 @@ iterations (examples/config.yaml:65-67), so the measured CPU baseline is
 FASTER than the real reference and ``vs_baseline`` is conservative.
 
 Secondary keys in the same JSON line (BASELINE.json metric 3):
-  icp_iter_ms_p50      p50 device ms of one ICP iteration (match+minimize)
-                       at steady-state map/scan shapes
+  matcher_pass_ms_p50  p50 device ms of one matcher pass (the Identity
+                       config's solve runs exactly one match iteration —
+                       renamed from r2's mislabeled icp_iter_ms_p50)
+  p2plane_scans_per_sec  steady-state scans/s under config_p2plane.yaml —
+                       the flagship correction path (Mapper.cpp:208-223):
+                       scan-to-map P2Plane GN actually correcting poses
+  gn_iter_ms_p50       p50 device ms of ONE true Gauss-Newton iteration
+                       (match + weigh + minimize) of the P2Plane solve at
+                       steady-state shapes
   online_latency_p50_ms p50 ms from process_input() dispatch to the
                        corrected pose being readable, online split-program
                        mode (register/merge decoupled) at steady state
@@ -52,6 +59,8 @@ import numpy as np
 DATA = "/root/reference/examples/data"
 CONFIG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "examples", "config.yaml")
+CONFIG_P2PLANE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "examples", "config_p2plane.yaml")
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
 REPEATS = 4  # timed steady-state passes over the 14-scan dataset
@@ -115,32 +124,52 @@ def main():
                               int((r + 2) * 2e9)))
     scans_per_sec = len(scans) / float(np.median(walls))
 
-    # --- secondary: p50 of one ICP iteration at steady-state shapes
+    # --- secondary: p50 of one matcher pass at steady-state shapes (the
+    # Identity config's solve is exactly one match iteration)
     import jax.numpy as jnp
     from norlab_icp_mapper_tpu import se3
-    local = mapper.map.local
-    ref = mapper.icp._ref
+
+    def solve_p50(m, scan, pose):
+        """(p50 ms per solve iteration, iterations) for mapper ``m``'s
+        configured solve at its current steady-state shapes."""
+        ref = m.icp._ref
+        scan_m = jax.jit(se3.apply)(jnp.asarray(pose, np.float32), scan)
+        ref_normals = ref.descriptors.get(
+            "normals", jnp.zeros_like(ref.positions))
+        solve = m.icp._get_solve(scan.capacity, ref.capacity)
+        key = jax.random.PRNGKey(0)
+
+        def run_solve():
+            out = solve(scan_m.positions, scan_m.mask, ref.positions,
+                        ref_normals, ref.mask, key)
+            jax.block_until_ready(out)
+            return out
+
+        run_solve()  # warm
+        ts, iters = [], 1
+        for _ in range(10):
+            t0 = time.perf_counter()
+            out = run_solve()
+            ts.append(time.perf_counter() - t0)
+            iters = max(1, int(np.asarray(out[2])))
+        return float(np.median(ts)) * 1e3 / iters, iters
+
     scan7 = mapper.apply_input_filters(scans[7])
-    scan_m = jax.jit(se3.apply)(jnp.asarray(poses[7][0], np.float32), scan7)
-    ref_normals = ref.descriptors.get(
-        "normals", jnp.zeros_like(ref.positions))
-    solve = mapper.icp._get_solve(scan7.capacity, ref.capacity)
-    key = jax.random.PRNGKey(0)
+    matcher_pass_ms, _ = solve_p50(mapper, scan7, poses[7][0])
 
-    def run_solve():
-        out = solve(scan_m.positions, scan_m.mask, ref.positions,
-                    ref_normals, ref.mask, key)
-        jax.block_until_ready(out)
-        return out
-
-    run_solve()  # warm
-    ts, iters = [], 1
-    for _ in range(10):
-        t0 = time.perf_counter()
-        out = run_solve()
-        ts.append(time.perf_counter() - t0)
-        iters = max(1, int(np.asarray(out[2])))
-    icp_iter_ms = float(np.median(ts)) * 1e3 / iters
+    # --- secondary: the flagship correction path (config_p2plane.yaml) —
+    # steady-state scans/s + true per-GN-iteration ms (VERDICT r2 item 4)
+    p2 = Mapper(CONFIG_P2PLANE, is_3d=True, is_online=False,
+                is_mapping=True)
+    run_pass(p2, scans, hints, poses, 0)            # warm-up / bootstrap
+    run_pass(p2, scans, hints, poses, int(2e9))     # steady map size
+    p2_walls = []
+    for r in range(REPEATS):
+        p2_walls.append(run_pass(p2, scans, hints, poses,
+                                 int((r + 2) * 2e9)))
+    p2_scans_per_sec = len(scans) / float(np.median(p2_walls))
+    p2_scan7 = p2.apply_input_filters(scans[7])
+    gn_iter_ms, gn_iters = solve_p50(p2, p2_scan7, poses[7][0])
 
     # --- secondary: online pose latency (register/merge split programs)
     from norlab_icp_mapper_tpu import Mapper
@@ -166,7 +195,10 @@ def main():
         "value": round(scans_per_sec, 3),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / base, 3),
-        "icp_iter_ms_p50": round(icp_iter_ms, 2),
+        "matcher_pass_ms_p50": round(matcher_pass_ms, 2),
+        "p2plane_scans_per_sec": round(p2_scans_per_sec, 3),
+        "gn_iter_ms_p50": round(gn_iter_ms, 2),
+        "gn_iters_at_steady_state": gn_iters,
         "online_latency_p50_ms": round(online_p50_ms, 2),
     }))
 

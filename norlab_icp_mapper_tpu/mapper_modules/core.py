@@ -90,8 +90,10 @@ class OctreeMapperModule(MapperModule):
                                1.0, float, 0, 1),
         "samplingMethod": Param("0 first, 1 random, 2 centroid, 3 medoid",
                                 0.0, float, 0, 3),
-        "maxPointByNode": Param("octree leaf point cap (approximated)",
-                                1.0, float, 1),
+        "maxPointByNode": Param(
+            "octree leaf point cap: a node subdivides while it holds more "
+            "points AND is larger than maxSizeByNode (lpm rule; K>1 "
+            "coarsens sparse regions hierarchically)", 1.0, float, 1),
         "maxSizeByNode": Param("leaf/voxel edge length (m)", 0.0, float, 0),
     }
 
@@ -101,8 +103,9 @@ class OctreeMapperModule(MapperModule):
         if vox <= 0.0:
             return batch
         method = int(self.params["samplingMethod"])
-        keep, centroid = voxel_select(batch.positions, batch.mask, vox,
-                                      method=method, key=key)
+        keep, centroid = voxel_select(
+            batch.positions, batch.mask, vox, method=method, key=key,
+            max_point_by_node=int(self.params["maxPointByNode"]))
         out = batch.with_mask(keep)
         if method == 2:
             out = out.replace(positions=jnp.where(

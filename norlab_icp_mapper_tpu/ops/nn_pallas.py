@@ -51,6 +51,13 @@ def planarize(points: jax.Array, mask: Optional[jax.Array],
 
 
 def _kernel(q_ref, r_ref, d_out, i_out, *, k, tq, tr, dim):
+    """Running top-k in SHIFTED distance space: the kernel ranks pairs by
+    ``s = |r|^2 - 2 q.r`` — the true d2 minus the per-query constant
+    ``|q|^2`` — which preserves per-query ordering while saving the q2
+    broadcast-add, the >=0 clamp, and the invalid-sentinel select on every
+    pair (the epilogue, not the MXU cross-term, is this kernel's roof; see
+    baselines/speed_of_light.py).  The wrapper adds q2 back and resolves
+    invalids on the tiny [N, k] output."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -60,23 +67,27 @@ def _kernel(q_ref, r_ref, d_out, i_out, *, k, tq, tr, dim):
 
     q = q_ref[:dim, :]  # [D, TQ]
     r = r_ref[:dim, :]  # [D, TR]
-    q2 = jnp.sum(q * q, axis=0)  # [TQ]
-    r2 = jnp.sum(r * r, axis=0)  # [TR]
+    r2 = jnp.sum(r * r, axis=0)  # [TR]; invalid refs carry ~BIG^2 (1e18)
     cross = jax.lax.dot_general(
         r, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)  # [TR, TQ], full f32 (see nn.py)
-    d2 = r2[:, None] + q2[None, :] - 2.0 * cross
-    d2 = jnp.maximum(d2, 0.0)
-    # pairs touching an invalid point have d2 ~ BIG^2 (~1e18); clamp to the
-    # sentinel so the merge never reports them as matches (real d2 stays far
-    # below 1e15 for any sane coordinate range)
-    d2 = jnp.where(d2 >= 1.0e15, _HUGE, d2)
+    s = r2[:, None] - 2.0 * cross  # [TR, TQ] shifted distances
 
     base = j * tr
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, tq), 0) + base
 
-    cat_d = jnp.concatenate([d2, d_out[:, :]], axis=0)  # [TR+K, TQ]
+    if k == 1:
+        # ~3 VPU ops/pair: the shifted-distance FMA, one min, one argmin
+        m = jnp.min(s, axis=0)  # [TQ]
+        a = jnp.argmin(s, axis=0).astype(jnp.int32) + base
+        best = d_out[0, :]
+        upd = m < best
+        d_out[0, :] = jnp.where(upd, m, best)
+        i_out[0, :] = jnp.where(upd, a, i_out[0, :])
+        return
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, tq), 0) + base
+    cat_d = jnp.concatenate([s, d_out[:, :]], axis=0)  # [TR+K, TQ]
     cat_i = jnp.concatenate([row_ids, i_out[:, :]], axis=0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tr + k, tq), 0)
 
@@ -88,7 +99,7 @@ def _kernel(q_ref, r_ref, d_out, i_out, *, k, tq, tr, dim):
         sel = rows == a[None, :]
         isel = jnp.sum(jnp.where(sel, cat_i, 0), axis=0)
         d_rows.append(m[None, :])
-        i_rows.append(jnp.where(m >= _HUGE, -1, isel)[None, :])
+        i_rows.append(isel[None, :])
         if t + 1 < k:
             cat_d = jnp.where(sel, _HUGE, cat_d)
 
@@ -122,7 +133,7 @@ def _knn_planar(qp, rp, *, k, tq, tr, dim):
             jax.ShapeDtypeStruct((k, n_pad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * m_pad * (dim + 4 * k),
+            flops=2 * n_pad * m_pad * (dim + (2 if k == 1 else 3 * k)),
             bytes_accessed=8 * (n_pad + m_pad) * 4 + 2 * k * n_pad * 4,
             transcendentals=0,
         ),
@@ -142,7 +153,9 @@ def knn_pallas(
     k: int = 1,
     max_radius: Optional[float] = None,
     tq: int = 1024,
-    tr: int = 512,
+    tr: int = 1024,  # measured best on v5e (flat 67-80 ms across tiles at
+                     # 49k x 164k — the kernel is VPU-reduction-bound, not
+                     # layout-bound; see baselines/speed_of_light.py)
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for ``ops.nn.knn`` running as a Pallas kernel.
 
@@ -154,10 +167,18 @@ def knn_pallas(
     m_pad = _round_up(max(m, tr), tr)
     qp = planarize(query, query_mask, n_pad)
     rp = planarize(ref, ref_mask, m_pad)
-    d, i = _knn_planar(qp, rp, k=k, tq=tq, tr=tr, dim=dim)
-    d = d[:, :n].T  # [N, k]
+    s, i = _knn_planar(qp, rp, k=k, tq=tq, tr=tr, dim=dim)
+    # the kernel returns SHIFTED distances s = d2 - |q|^2 (see _kernel);
+    # add q2 back, clamp, and resolve invalid-ref sentinels here — O(N*k)
+    # work instead of per-pair
+    s = s[:, :n].T  # [N, k]
     i = i[:, :n].T
-    valid = (d < _HUGE * 0.5) & (i >= 0)
+    q2 = jnp.sum(query * query, axis=1)  # [N]
+    # invalid refs carry |r|^2 ~ 1e18 >> any real shifted distance (real
+    # |s| < ~1e10 for coordinates up to 1e4); invalid QUERIES make s very
+    # negative but are masked by query_mask below
+    valid = (s < 1.0e15) & (i >= 0)
+    d = jnp.maximum(s + q2[:, None], 0.0)
     if max_radius is not None:
         valid = valid & (d <= max_radius * max_radius)
     if query_mask is not None:

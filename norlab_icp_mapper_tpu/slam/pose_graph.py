@@ -50,11 +50,20 @@ def _log(T, dim):
 
 
 @functools.partial(jax.jit, static_argnames=("dim", "iters"))
-def _solve(poses0, ei, ej, Z, w, *, dim, iters):
+def _solve(poses0, ei, ej, Z, w, *, dim, iters, rot_weight=20.0):
     n = poses0.shape[0]
     dof = 6 if dim == 3 else 3
+    # rotational residuals (rad) must cost MORE than translational ones
+    # (m): with equal weighting GN satisfies a loop closure by bending a
+    # few early edges' rotations — radians are cheap in the cost but move
+    # far-away nodes by (lever arm x angle) meters, deforming the loop
+    # interior wildly while every edge residual stays tiny (measured:
+    # 13 m mid-loop bulges on a 480 m loop).  rot_weight ~ sigma_t/sigma_r
+    # = 0.2 m / 0.01 rad = 20 is a typical odometry information ratio.
+    comp = jnp.concatenate([jnp.ones((dim,)),
+                            jnp.full((dof - dim,), rot_weight)])
 
-    def residuals(xi_flat):
+    def residuals(xi_flat, rw):
         xi = xi_flat.reshape(n, dof)
         Ts = jax.vmap(lambda x, T: _exp(x, dim) @ T)(xi, poses0)
         Ti = Ts[ei]
@@ -62,11 +71,23 @@ def _solve(poses0, ei, ej, Z, w, *, dim, iters):
         rel = jax.vmap(se3.inverse)(Ti) @ Tj
         err = jax.vmap(se3.inverse)(Z) @ rel
         r = jax.vmap(lambda e: _log(e, dim))(err)  # [E, dof]
-        return (r * jnp.sqrt(w)[:, None]).reshape(-1)
+        return (r * comp[None, :] * jnp.sqrt(w * rw)[:, None]).reshape(-1)
 
-    def gn_step(xi_flat, _):
-        r = residuals(xi_flat)
-        J = jax.jacfwd(residuals)(xi_flat)  # [E*dof, n*dof]
+    def gn_step(xi_flat, delta2):
+        # robust IRLS (Geman-McClure): a WRONG loop closure (a
+        # registration that slid to a false minimum but passed the overlap
+        # gate) keeps a large residual no matter how the graph bends; its
+        # weight collapses as delta^2/(delta^2 + e^2) instead of dragging
+        # every node toward it.  delta ANNEALS from the largest initial
+        # edge residual down to 1: early iterations behave like plain GN
+        # (a correct closure's residual IS the accumulated drift — a fixed
+        # small delta would mute it too), late iterations release only the
+        # edges that stayed inconsistent.
+        r_edge = residuals(xi_flat, jnp.ones_like(w)).reshape(-1, dof)
+        e2 = jnp.sum(r_edge * r_edge, axis=1)
+        rw = delta2 / (delta2 + e2)
+        r = residuals(xi_flat, rw)
+        J = jax.jacfwd(residuals)(xi_flat, rw)  # [E*dof, n*dof]
         # gauge fix: freeze node 0
         mask = jnp.concatenate(
             [jnp.zeros((dof,)), jnp.ones(((n - 1) * dof,))])
@@ -78,7 +99,11 @@ def _solve(poses0, ei, ej, Z, w, *, dim, iters):
         return xi_flat + dx * mask, jnp.sum(r * r)
 
     xi0 = jnp.zeros((n * dof,), jnp.float32)
-    xi, costs = jax.lax.scan(gn_step, xi0, None, length=iters)
+    r0 = residuals(xi0, jnp.ones_like(w)).reshape(-1, dof)
+    d2_hi = jnp.maximum(jnp.max(jnp.sum(r0 * r0, axis=1)), 1.0)
+    s = jnp.linspace(0.0, 1.0, max(iters, 2))[:iters]
+    delta2_sched = jnp.exp(jnp.log(d2_hi) * (1.0 - s))  # d2_hi -> 1
+    xi, costs = jax.lax.scan(gn_step, xi0, delta2_sched)
     xi = xi.reshape(n, dof)
     out = jax.vmap(lambda x, T: _exp(x, dim) @ T)(xi, poses0)
     return out, costs
@@ -190,7 +215,7 @@ def _register_pairs_impl(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
         n_read = jnp.maximum(jnp.sum(rmsk.astype(jnp.float32)), 1.0)
 
         def body(carry, _):
-            T, _ = carry
+            T, _, _ = carry
             p = se3.apply_points(T, rp)
             d2, idx = nn1(p, fp, fm)
             w = (rmsk & (d2 <= max_d2)).astype(jnp.float32)
@@ -205,6 +230,10 @@ def _register_pairs_impl(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
             q = fp[jnp.maximum(idx, 0)]
             qn = fn[jnp.maximum(idx, 0)]
             r = jnp.sum(qn * (p - q), axis=1)
+            # trimmed point-to-plane RMS: the registration-QUALITY gate (a
+            # solve that slid to a false minimum keeps high residual even
+            # after trimming; overlap alone misses it)
+            rms = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1.0))
             if dim == 3:
                 J = jnp.concatenate([qn, jnp.cross(p, qn)], axis=1)
             else:
@@ -216,11 +245,12 @@ def _register_pairs_impl(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
             lam = 1e-3 * jnp.trace(JtJ) / dof + 1e-6
             dT = _exp(-jnp.linalg.solve(
                 JtJ + lam * jnp.eye(dof, dtype=jnp.float32), Jtr), dim)
-            return (dT @ T, overlap), None
+            return (dT @ T, overlap, rms), None
 
-        (T, overlap), _ = jax.lax.scan(body, (T0, jnp.float32(0.0)), None,
-                                       length=iters)
-        return T, overlap
+        (T, overlap, rms), _ = jax.lax.scan(
+            body, (T0, jnp.float32(0.0), jnp.float32(0.0)), None,
+            length=iters)
+        return T, overlap, rms
 
     return jax.vmap(solve_one)(read_pos, read_mask, ref_pos, ref_norm,
                                ref_mask, rel0)
@@ -231,8 +261,9 @@ def register_pairs_batched(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
     """Register C candidate pairs at once: reading j against keyframe i.
 
     ``rel0 [C, dim+1, dim+1]`` is the initial relative guess
-    ``T_i^-1 T_j``; returns ``(T [C, ...], overlap [C])`` where ``T`` is the
-    refined relative transform (the pose-graph measurement Z)."""
+    ``T_i^-1 T_j``; returns ``(T [C, ...], overlap [C], rms [C])`` where
+    ``T`` is the refined relative transform (the pose-graph measurement Z)
+    and ``rms`` the final trimmed point-to-plane residual."""
     dim = read_pos.shape[-1]
     return _register_pairs_impl(read_pos, read_mask, ref_pos, ref_norm,
                                 ref_mask, jnp.asarray(rel0, jnp.float32),
@@ -247,11 +278,16 @@ def detect_loop_closures_batched(
     min_index_gap: int = 10, max_dist: float = 5.0,
     min_overlap: float = 0.5, match_max_dist: float = 2.0,
     iters: int = 10, normal_radius: float = 1.0,
+    max_rms: float = 0.3,
 ):
     """Loop-closure detection with ALL candidate registrations as one
     vmapped device program (vs the serial host loop in
     ``detect_loop_closures``).  Candidate gating (spatially close, far in
     index) stays on host — it is O(K^2) scalar work on tiny data.
+    Accepted closures must pass BOTH the overlap gate and the
+    registration-quality gate (trimmed point-to-plane RMS <= ``max_rms``):
+    a solve that slid to a false minimum can keep decent overlap but not a
+    low residual, and one wrong closure poisons the whole graph.
 
     Returns ``(ei, ej, Z, weights)`` like ``detect_loop_closures``."""
     poses = np.asarray(poses, np.float32)
@@ -267,13 +303,14 @@ def detect_loop_closures_batched(
     rel0 = np.stack([np.linalg.inv(poses[i]) @ poses[j] for i, j in cand])
 
     normals = keyframe_normals(kf_pos, kf_mask, radius=normal_radius)
-    T, overlap = register_pairs_batched(
+    T, overlap, rms = register_pairs_batched(
         kf_pos[jj], kf_mask[jj], kf_pos[ii], normals[ii], kf_mask[ii],
         rel0, max_dist=match_max_dist, iters=iters)
     T = np.asarray(T)
     overlap = np.asarray(overlap)
+    rms = np.asarray(rms)
 
-    keep = overlap >= min_overlap
+    keep = (overlap >= min_overlap) & (rms <= max_rms)
     ei = [int(v) for v in ii[keep]]
     ej = [int(v) for v in jj[keep]]
     Z = T[keep].astype(np.float32)

@@ -25,6 +25,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running e2e tests (kilometer-scale loop)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

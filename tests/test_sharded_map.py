@@ -238,6 +238,43 @@ def test_growth_preserves_sharding(rng):
     mapper._assert_sharded()
 
 
+def test_rebalance_restores_load_balance(rng):
+    """Bucket-table rebalance (VERDICT r2 weak #5): bootstrap on a single
+    cell (all weight on one shard), then spread out — the harvested
+    balance degrades, the table rebuilds from the measured histogram, and
+    the reassigned buckets' points shuffle device-side without loss."""
+    world = make_world(rng)
+    # the 20 m test world spans ~10 ground cells at the default 4.8 m —
+    # too coarse for any assignment to balance 8 shards; 1.2 m cells give
+    # the granularity a real map has at the default cell size
+    mapper = ShardedMapper(make_mesh(), cfg(
+        minimizer="IdentityErrorMinimizer", cell_size=1.2))
+    mapper.REBALANCE_MIN_POINTS = 500
+    mapper.REBALANCE_COOLDOWN = 2
+    mapper.process_input(scan_at(world, pose_at(2.0)), pose_at(2.0), 0.0)
+    # force a pathological table: every bucket on shard 0 — all inserts
+    # pile onto one shard until the rebalance machinery kicks in
+    mapper.table_np = np.zeros_like(mapper.table_np)
+    mapper.table = jax.numpy.asarray(mapper.table_np)
+    for i, x in enumerate(np.arange(4.0, 20.0, 2.0)):
+        mapper.process_input(scan_at(world, pose_at(x)), pose_at(x),
+                             stamp_s=0.1 * (i + 1))
+    m = mapper.drain()
+    assert m["count"] > 500
+    assert mapper._last_rebalance_scan > 0, "rebalance never triggered"
+    assert mapper.balance is not None and mapper.balance >= 0.93, \
+        mapper.balance
+    assert mapper.overflow_totals.get("rebalance", 0) == 0
+    # the shuffle lost nothing: voxel uniqueness still holds (up to a
+    # handful of exact-boundary points — the synthetic walls sit at
+    # coordinates like x=15.0 where floor(x/0.3) differs between the fused
+    # program's f32 rounding and this host check's)
+    out = mapper.get_map()
+    vox = np.floor(out["positions"] / np.float32(0.3)).astype(np.int64)
+    n_dup = vox.shape[0] - np.unique(vox, axis=0).shape[0]
+    assert n_dup <= max(8, vox.shape[0] // 200), n_dup
+
+
 def test_sharded_2d(rng):
     """ShardedMapConfig(dim=2) end to end (VERDICT r2 weak #9): SE(2)
     distributed solve + merge on a 2-D world."""
