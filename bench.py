@@ -130,8 +130,12 @@ def main():
     from norlab_icp_mapper_tpu import se3
 
     def solve_p50(m, scan, pose):
-        """(p50 ms per solve iteration, iterations) for mapper ``m``'s
-        configured solve at its current steady-state shapes."""
+        """(p50 DEVICE ms per solve iteration, iterations) for mapper
+        ``m``'s configured solve at its current steady-state shapes.
+        Solves are chained back-to-back (one sync per chain) so the
+        tunneled backend's ~23 ms completion-notification latency doesn't
+        masquerade as kernel time (same protocol as
+        baselines/speed_of_light.py)."""
         ref = m.icp._ref
         scan_m = jax.jit(se3.apply)(jnp.asarray(pose, np.float32), scan)
         ref_normals = ref.descriptors.get(
@@ -140,18 +144,19 @@ def main():
         key = jax.random.PRNGKey(0)
 
         def run_solve():
-            out = solve(scan_m.positions, scan_m.mask, ref.positions,
-                        ref_normals, ref.mask, key)
-            jax.block_until_ready(out)
-            return out
+            return solve(scan_m.positions, scan_m.mask, ref.positions,
+                         ref_normals, ref.mask, key)
 
-        run_solve()  # warm
-        ts, iters = [], 1
-        for _ in range(10):
+        out = run_solve()
+        jax.block_until_ready(out)  # warm/compile
+        iters = max(1, int(np.asarray(out[2])))
+        CHAIN = 10
+        ts = []
+        for _ in range(5):
             t0 = time.perf_counter()
-            out = run_solve()
-            ts.append(time.perf_counter() - t0)
-            iters = max(1, int(np.asarray(out[2])))
+            outs = [run_solve() for _ in range(CHAIN)]
+            jax.block_until_ready(outs[-1])
+            ts.append((time.perf_counter() - t0) / CHAIN)
         return float(np.median(ts)) * 1e3 / iters, iters
 
     scan7 = mapper.apply_input_filters(scans[7])

@@ -567,7 +567,7 @@ class Mapper:
                           max_dist: float = 8.0, min_overlap: float = 0.4,
                           match_max_dist: float = 2.0,
                           normal_radius: float = 1.0, icp_iters: int = 10,
-                          gn_iters: int = 10):
+                          gn_iters: int = 10, max_rms: float = 0.3):
         """Pose-graph refinement over the recorded keyframes: sequential
         odometry edges + batched loop-closure registrations (ONE vmapped
         device program for all candidate pairs), dense Gauss-Newton solve.
@@ -590,7 +590,7 @@ class Mapper:
             kf_pos, kf_mask, poses, min_index_gap=min_index_gap,
             max_dist=max_dist, min_overlap=min_overlap,
             match_max_dist=match_max_dist, iters=icp_iters,
-            normal_radius=normal_radius)
+            normal_radius=normal_radius, max_rms=max_rms)
         if lei:
             ei = list(ei) + lei
             ej = list(ej) + lej

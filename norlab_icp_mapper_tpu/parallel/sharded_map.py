@@ -724,11 +724,19 @@ class ShardedMapperStep:
                     prob = dp_update(pos, nrm, msk, prob, scan_pos,
                                      scan_mask, corrected)
 
-                # insert gate: global 1-NN via pmin (PointDistance module)
-                d2, _ = local_nn(scan_c, pos, msk)
-                gmin = jax.lax.pmin(jnp.where(scan_mask, d2, jnp.inf), axis)
-                thr = cfg.min_dist_new_point ** 2
-                is_new = scan_mask & ~(gmin < jnp.maximum(thr, 1e-12))
+                # insert gate: global 1-NN via pmin (PointDistance module).
+                # Skipped entirely when no PointDistanceMapperModule is
+                # configured (minDistNewPoint == 0): the reference inserts
+                # unconditionally then (voxel decimation dedups), and the
+                # dense scan-vs-map NN is the merge's most expensive pass.
+                if cfg.min_dist_new_point > 0:
+                    d2, _ = local_nn(scan_c, pos, msk)
+                    gmin = jax.lax.pmin(
+                        jnp.where(scan_mask, d2, jnp.inf), axis)
+                    thr = cfg.min_dist_new_point ** 2
+                    is_new = scan_mask & ~(gmin < thr)
+                else:
+                    is_new = scan_mask
                 # home assignment: only my cells insert here
                 home = table[_bucket_jnp(scan_c, cfg.cell_size,
                                          cfg.n_buckets)]

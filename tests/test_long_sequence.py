@@ -1,0 +1,232 @@
+"""Kilometer-scale regime (VERDICT r2 item 6, reference scale claim at
+``docs/MapperConfiguration.md:90``): a long synthetic loop driven through
+the single-chip Mapper with rolling-window eviction, keyframes, and
+pose-graph refinement active TOGETHER.
+
+Asserts the three properties that make kilometer scale work:
+  1. bounded memory — the device-resident local map stays bounded by the
+     window while the traverse keeps growing (evicted cells spill to the
+     CellManager),
+  2. lossless spill — the global map (local + cells) covers the whole loop,
+  3. loop closure — ``refine_trajectory()`` reduces ATE on drifted odometry.
+
+Marked slow: one full loop is a few minutes on the 2-core CPU CI box.
+Wall time is printed (and asserted finite) as the tracked number; the
+full-scale artifact is produced by ``baselines/long_loop.py`` on real
+hardware.
+"""
+import time
+
+import numpy as np
+import pytest
+
+from norlab_icp_mapper_tpu import Mapper, PointBatch
+
+pytestmark = pytest.mark.slow
+
+SIDE = 80.0  # m per loop side -> 320 m lap; the drive does 1.5 laps
+             # (480 m) so the second half-lap REVISITS corners — loop
+             # closures then constrain several places, not just the start
+
+
+def loop_waypoints(step=3.0, legs=4):
+    """Square-loop walk: ``legs`` successive SIDE-long legs (legs > 4
+    wraps around for multi-lap trajectories)."""
+    dirs = [np.array([1.0, 0.0]), np.array([0.0, 1.0]),
+            np.array([-1.0, 0.0]), np.array([0.0, -1.0])]
+    yaw_of = [0.0, np.pi / 2, np.pi, -np.pi / 2]
+    p = np.zeros(2)
+    pts, yaws = [], []
+    for leg in range(legs):
+        d = dirs[leg % 4]
+        for s in np.arange(0.0, SIDE, step):
+            pts.append(p + d * s)
+            yaws.append(yaw_of[leg % 4])
+        p = p + d * SIDE
+    return np.stack(pts), np.asarray(yaws)
+
+
+def make_street(rng, n_per_m=3):
+    """Walls 4 m either side of the loop path + ground points."""
+    pts, _ = loop_waypoints(step=0.5)
+    out = []
+    for sign in (-1.0, 1.0):
+        # normal offset: rotate the path tangent by 90 degrees
+        t = np.gradient(pts, axis=0)
+        t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-9)
+        nrm = np.stack([-t[:, 1], t[:, 0]], 1)
+        for _ in range(n_per_m):
+            jitter = rng.uniform(-0.25, 0.25, pts.shape)
+            z = rng.uniform(0.0, 3.0, (len(pts), 1))
+            wall = pts + sign * 4.0 * nrm + jitter
+            out.append(np.concatenate([wall, z], 1))
+    ground = np.concatenate([pts + rng.uniform(-3, 3, pts.shape),
+                             np.zeros((len(pts), 1))], 1)
+    out.append(ground)
+    # APERIODIC pillars: cross-track structure — a bare corridor leaves
+    # the along-track direction in the point-to-plane null space and the
+    # pose slides meters over a 480 m run; REGULAR pillars alias (a slide
+    # of one spacing re-aligns them with low residual) — both measured
+    way, _ = loop_waypoints(step=0.5)
+    t = np.gradient(way, axis=0)
+    t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-9)
+    nrm = np.stack([-t[:, 1], t[:, 0]], 1)
+    # ~1 object per meter of street: closure registrations happen at
+    # arbitrary mid-leg keyframes, and a scan whose only structure is the
+    # two wall planes slides meters along the corridor with low residual
+    # (measured at several densities — sparse pillars leave 1-2 points per
+    # object after scan subsampling, not enough to break the slide)
+    picks = rng.choice(len(way), size=len(way) // 2, replace=False)
+    for i in picks:
+        side = rng.choice([-1.0, 1.0])
+        off = rng.uniform(1.5, 3.5)
+        base = way[i] + side * off * nrm[i]
+        rad = rng.uniform(0.1, 0.5)
+        height = rng.uniform(1.0, 3.0)
+        pillar = np.concatenate(
+            [base + rng.uniform(-rad, rad, (40, 2)),
+             rng.uniform(0, height, (40, 1))], 1)
+        out.append(pillar)
+    # dense volumetric clutter at each corner: closure registrations
+    # happen where the loop revisits, and random 3-D structure has no
+    # slide symmetry (walls alone leave an along-corridor attractor that
+    # pulls closures meters off even from a ground-truth start — measured)
+    for corner in ([0, 0], [SIDE, 0], [SIDE, SIDE], [0, SIDE]):
+        c = np.asarray(corner, np.float64)
+        blob = np.concatenate(
+            [c + rng.uniform(-6, 6, (800, 2)),
+             rng.uniform(0.0, 3.0, (800, 1))], 1)
+        out.append(blob)
+    return np.concatenate(out).astype(np.float32)
+
+
+def pose_of(p, yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    T[0, 3], T[1, 3] = p[0], p[1]
+    T[2, 3] = 1.0
+    return T
+
+
+def scan_of(world, pose, radius=10.0, cap=1024):
+    d = np.linalg.norm(world - pose[:3, 3], axis=1)
+    pts = world[d < radius]
+    local = ((pts - pose[:3, 3]) @ pose[:3, :3]).astype(np.float32)
+    if len(local) > cap:
+        local = local[np.linspace(0, len(local) - 1, cap).astype(int)]
+    return PointBatch.from_numpy(local)
+
+
+# the reference example's own setup: mapping with TRUSTED odometry
+# (IdentityErrorMinimizer, examples/config.yaml:62-63).  With a live
+# P2Plane corrector the second lap re-registers against the restored
+# lap-1 map and the trajectory becomes self-consistent in a *bent* frame
+# — closures then carry contradictory signal and refinement cannot be
+# asserted deterministically; with trusted odometry the drift structure
+# is clean and refinement's contract is exact.
+CONFIG = {
+    "icp": {
+        "matcher": {"KDTreeMatcher": {"knn": 3, "maxDist": 1.5}},
+        "errorMinimizer": "IdentityErrorMinimizer",
+        "transformationCheckers": [
+            {"CounterTransformationChecker": {"maxIterationCount": 10}},
+        ],
+    },
+    "input": [],
+    "post": [{"SurfaceNormalDataPointsFilter": {"knn": 5, "maxDist": 1.5}}],
+    "mapper": {
+        "updateCondition": {"type": "distance", "value": 1.0},
+        "mapperModule": [
+            {"OctreeMapperModule": {
+                "buildParallel": 1, "maxSizeByNode": 0.4,
+                "samplingMethod": 0}}],
+        "sensorMaxRange": 12,
+    },
+}
+
+
+def test_long_loop_eviction_keyframes_refine(rng):
+    world = make_street(rng)
+    waypoints, yaws = loop_waypoints(step=3.0, legs=6)  # 1.5 laps, 480 m
+    n = len(waypoints)
+
+    mapper = Mapper(CONFIG, is_3d=True)
+    mapper.enable_keyframes(min_distance=6.0, max_keyframes=256)
+
+    # odometry with slow yaw drift: locally fine (ICP tracks it), globally
+    # wrong by meters at loop end — exactly what refinement must fix.
+    # 0.0004 rad/scan accumulates to ~3-4 m of loop-closure gap: real drift
+    # scale, and within the closure registration's capture range (a 10 m
+    # gap is beyond any 2-4 m matcher radius — measured, not guessed)
+    drift_rate = 0.0004  # rad per scan
+    est = pose_of(waypoints[0], yaws[0])
+    true_prev = est
+    t0 = time.perf_counter()
+    true_poses = []
+    est_poses = []
+    caps = []
+    for i in range(n):
+        true_pose = pose_of(waypoints[i], yaws[i])
+        true_poses.append(true_pose)
+        # odometry increment = true increment corrupted by a yaw drift
+        inc = np.linalg.inv(true_prev) @ true_pose
+        c, s = np.cos(drift_rate), np.sin(drift_rate)
+        D = np.eye(4, dtype=np.float32)
+        D[:2, :2] = [[c, -s], [s, c]]
+        est = (est @ (D @ inc)).astype(np.float32)
+        est_poses.append(est.copy())
+        true_prev = true_pose
+        scan = scan_of(world, true_pose)
+        mapper.process_input(mapper.apply_input_filters(scan), est,
+                             int(i * 1e8))
+        if i % 20 == 19:
+            mapper.drain()
+            caps.append(mapper.map.local.capacity)
+    mapper.drain()
+    wall_s = time.perf_counter() - t0
+    assert np.isfinite(wall_s)
+    print(f"\nlong loop: {n} scans over {6 * SIDE:.0f} m "
+          f"in {wall_s:.1f} s ({n / wall_s:.2f} scans/s on CPU)")
+
+    # 1. bounded memory: the device-resident map is bounded by the WINDOW,
+    # not the traverse — capacity grows only while lap 1 maps new
+    # territory, then the second lap (pure revisits: restore + evict)
+    # never exceeds that peak, and a real share of the map lives spilled
+    assert len(mapper.map.cell_manager.get_all_cell_ids()) > 0, \
+        "loop never evicted — geometry vs window mismatch"
+    assert caps[-1] <= max(caps[:-2]), \
+        (caps, "local capacity still growing at end of lap 2")
+
+    # 2. lossless spill: the GLOBAL map covers all four loop legs
+    cloud = mapper.get_map()
+    pos = cloud["positions"]
+    device_count = int(mapper.map._known_count or 0)
+    assert device_count < 0.8 * pos.shape[0], \
+        (device_count, pos.shape[0], "nothing is actually spilled")
+    for corner in ([0, 0], [SIDE, 0], [SIDE, SIDE], [0, SIDE]):
+        near = np.linalg.norm(pos[:, :2] - np.asarray(corner), axis=1) < 15
+        assert near.sum() > 50, (corner, int(near.sum()))
+
+    # 3. pose-graph refinement drops ATE on the drifted trajectory
+    before, after, info = mapper.refine_trajectory(
+        min_index_gap=20, max_dist=10.0, min_overlap=0.5,
+        match_max_dist=4.0, icp_iters=20, gn_iters=20, max_rms=0.15)
+
+    # exact keyframe -> scan association: with trusted odometry
+    # (IdentityErrorMinimizer) every keyframe pose IS the drifted est pose
+    # of its scan, so the nearest est pose identifies the scan index and
+    # the TRUE ATE is computable (a nearest-point-on-trajectory proxy is
+    # blind to along-track error and mis-credits large deformations)
+    est_xyz = np.stack([T[:3, 3] for T in est_poses])
+    kidx = [int(np.argmin(np.linalg.norm(est_xyz - p[:3, 3], axis=1)))
+            for p in before]
+    true_kf = np.stack([true_poses[k][:3, 3] for k in kidx])
+
+    def ate(poses):
+        e = np.stack([T[:3, 3] for T in poses])
+        return float(np.sqrt(np.mean(np.sum((e - true_kf) ** 2, axis=1))))
+
+    ate_before, ate_after = ate(before), ate(after)
+    assert len(info["loop_closures"]) > 0, "no loop closures detected"
+    assert ate_after < 0.8 * ate_before, (ate_before, ate_after)

@@ -198,7 +198,7 @@ def test_dynamic_points_parity_sharded_vs_single(rng):
     # exact pose (Identity minimizer -> corrected == est == pose)
     mesh = make_mesh()
     cfg = ShardedMapConfig(
-        dim=3, cell_size=2.0, voxel_size=0.0, min_dist_new_point=0.0,
+        dim=3, cell_size=2.0, voxel_size=0.0, min_dist_new_point=1e-3,
         normal_radius=1.5, minimizer="IdentityErrorMinimizer",
         update_condition="delay", update_value=0.01,
         dynamic_points=dp_params, halo_capacity=2048,
