@@ -59,10 +59,17 @@ def _to_superior_grid(w: float, rng: float) -> int:
 
 def bin_points_to_cells(evict: Dict[str, np.ndarray], cell_manager,
                         dim: int) -> None:
-    """Bin evicted points into 20 m cells and save each to the cell manager,
-    merging with any existing saved content (vectorized form of the
-    reference's per-cell growable binning, ``Map.cpp:202-222``).  Shared by
-    the single-chip ``Map`` and the sharded map's eviction spill path."""
+    """Bin evicted points into 20 m cells and save each to the cell manager
+    (vectorized form of the reference's per-cell growable binning,
+    ``Map.cpp:202-222``).  Shared by the single-chip ``Map`` and the sharded
+    map's eviction spill path.
+
+    A save MERGES with existing saved content.  This is required only by the
+    sharded path, whose bounded eviction buffers can spill the same cell
+    across several rounds (overflow retry) before a restore removes it; on
+    the single-chip path loads remove the saved copy (``_load_cells``), so a
+    re-save never finds stale content and the merge is equivalent to the
+    reference's ``saveCell`` overwrite (``RAMCellManager.cpp:13-16``)."""
     ev_pos = evict["positions"]
     if ev_pos.shape[0] == 0:
         return
@@ -424,6 +431,17 @@ class Map:
             cid = self._cell_id(i, j, k)
             if cid in saved:
                 cell = self.cell_manager.retrieve_cell(cid)
+                # remove-on-load: the retrieved content becomes device
+                # resident, so the saved copy leaves the store.  This keeps
+                # the invariant "a point is device-resident OR in exactly
+                # one saved cell" (the sharded path's discipline) and
+                # reproduces the reference's observable overwrite semantics
+                # (``RAMCellManager.cpp:13-16`` saveCell overwrites;
+                # ``Map.cpp:105,117-124`` excludes loaded cells from the
+                # global view) — without it, re-unloading a revisited cell
+                # merged onto the stale saved copy and the map DOUBLED on
+                # every leave-return cycle.
+                self.cell_manager.remove_cell(cid)
                 if cell is not None and cell["positions"].shape[0] > 0:
                     chunks.append(cell)
                 ids.append(cid)

@@ -266,10 +266,17 @@ class Mapper:
             read_mask = None
             if len(self.icp.reading_filters):
                 # lpm readingDataPointsFilters: applied once per
-                # registration to the reading only (mask-only filters —
-                # e.g. RandomSampling); the merged scan stays unfiltered
+                # registration to the reading only; the merged scan stays
+                # unfiltered.  The single-chip engine receives the reading
+                # already in the MAP frame (``Mapper.cpp:197,213``), so the
+                # mask is computed on the transformed scan — frame-sensitive
+                # filters (MaxDist, BoundingBox) then agree across backends
+                # (ADVICE r3).  Position-editing reading filters are
+                # rejected at construction (``from_mapper``).
+                scan_m = self._apply_tf(jnp.asarray(estimated_pose),
+                                        filtered_scan_in_sensor_frame)
                 read_mask = self.icp.reading_filters.apply(
-                    filtered_scan_in_sensor_frame, self._next_key()).mask
+                    scan_m, self._next_key()).mask
             self._sharded.process_input(
                 filtered_scan_in_sensor_frame, estimated_pose,
                 timestamp_ns=int(timestamp_ns),

@@ -444,15 +444,18 @@ class ShardedMapperStep:
 
     # -------------------------------------------------------------- step
     def step(self, state, table, scan_pos, scan_mask, read_mask, scan_prob,
-             est_pose, stamp_s, last_t, last_pose, is_mapping, key):
-        """One scan: returns (new_state, mirrors) — mirrors are tiny."""
+             est_pose, stamp_s, last_t, last_pose, is_mapping, key,
+             of_prev):
+        """One scan: returns (new_state, mirrors) — mirrors are tiny.
+        ``of_prev`` holds the running insert/halo overflow totals; the
+        program outputs them accumulated (mirrors are totals, not deltas)."""
         shapes = ("step", state["pos"].shape, scan_pos.shape)
         if shapes not in self._jit_cache:
             self._jit_cache[shapes] = self._build_step()
         return self._jit_cache[shapes](state, table, scan_pos, scan_mask,
                                        read_mask, scan_prob, est_pose,
                                        stamp_s, last_t, last_pose,
-                                       is_mapping, key)
+                                       is_mapping, key, of_prev)
 
     def evict(self, state, win_lo, win_hi):
         """Partition out-of-window points into per-shard eviction buffers
@@ -575,7 +578,10 @@ class ShardedMapperStep:
             return srt[cut]
 
         def icp_solve(read_pos, read_mask, map_pos, map_nrm, map_msk):
-            """Distributed point-to-plane GN (see distributed.py)."""
+            """Distributed solve: point-to-plane GN (psum'd JtJ/Jtr),
+            point-to-point weighted Kabsch (psum'd cross moments), or
+            Identity (overlap only) — reference minimizer set,
+            ``docs/MapperConfiguration.md:181-182``."""
             n_read = jnp.maximum(jnp.sum(read_mask.astype(jnp.float32)), 1.0)
 
             if cfg.minimizer == "IdentityErrorMinimizer":
@@ -605,21 +611,48 @@ class ShardedMapperStep:
                 w = jnp.where(mine, 1.0 / jnp.maximum(claims, 1.0), 0.0)
                 q = map_pos[jnp.maximum(idx, 0)]
                 qn = map_nrm[jnp.maximum(idx, 0)]
-                r = jnp.sum(qn * (p - q), axis=1)
-                if dim == 3:
-                    J = jnp.concatenate([qn, jnp.cross(p, qn)], axis=1)
+                if cfg.minimizer == "PointToPointErrorMinimizer":
+                    # distributed weighted Kabsch (the single-chip SVD
+                    # minimizer, engine.py:470-486): only the psum'd cross
+                    # moments travel — wsum (1), S_p/S_q (D each),
+                    # S_pq (DxD) — then every shard runs the identical
+                    # tiny SVD on the replicated moments.  H equals the
+                    # single-chip centered cross-covariance:
+                    # sum w (p-mu_p)(q-mu_q)^T = S_pq - S_p S_q^T / wsum.
+                    wsum = jnp.maximum(jax.lax.psum(jnp.sum(w), axis), 1e-9)
+                    Sp = jax.lax.psum(w @ p, axis)
+                    Sq = jax.lax.psum(w @ q, axis)
+                    Spq = jax.lax.psum(
+                        jnp.dot((p * w[:, None]).T, q,
+                                precision=jax.lax.Precision.HIGHEST), axis)
+                    mu_p = Sp / wsum
+                    mu_q = Sq / wsum
+                    H = Spq - jnp.outer(Sp, Sq) / wsum
+                    U, _, Vt = jnp.linalg.svd(H)
+                    det = jnp.linalg.det(Vt.T @ U.T)
+                    Sfix = jnp.diag(jnp.concatenate(
+                        [jnp.ones((dim - 1,), jnp.float32), det[None]]))
+                    R = Vt.T @ Sfix @ U.T
+                    t = mu_q - R @ mu_p
+                    dT = jnp.eye(dim + 1, dtype=jnp.float32) \
+                        .at[:dim, :dim].set(R).at[:dim, dim].set(t)
                 else:
-                    c2 = p[:, 0] * qn[:, 1] - p[:, 1] * qn[:, 0]
-                    J = jnp.concatenate([qn, c2[:, None]], axis=1)
-                Jw = J * w[:, None]
-                JtJ = jax.lax.psum(
-                    jnp.dot(Jw.T, J, precision=jax.lax.Precision.HIGHEST),
-                    axis)
-                Jtr = jax.lax.psum(Jw.T @ r, axis)
-                lam = 1e-3 * jnp.trace(JtJ) / dof + 1e-6
-                JtJ = JtJ + lam * jnp.eye(dof, dtype=jnp.float32)
-                dx = -jnp.linalg.solve(JtJ, Jtr)
-                dT = se3.exp_se3(dx) if dim == 3 else se3.exp_se2(dx)
+                    r = jnp.sum(qn * (p - q), axis=1)
+                    if dim == 3:
+                        J = jnp.concatenate([qn, jnp.cross(p, qn)], axis=1)
+                    else:
+                        c2 = p[:, 0] * qn[:, 1] - p[:, 1] * qn[:, 0]
+                        J = jnp.concatenate([qn, c2[:, None]], axis=1)
+                    Jw = J * w[:, None]
+                    JtJ = jax.lax.psum(
+                        jnp.dot(Jw.T, J,
+                                precision=jax.lax.Precision.HIGHEST),
+                        axis)
+                    Jtr = jax.lax.psum(Jw.T @ r, axis)
+                    lam = 1e-3 * jnp.trace(JtJ) / dof + 1e-6
+                    JtJ = JtJ + lam * jnp.eye(dof, dtype=jnp.float32)
+                    dx = -jnp.linalg.solve(JtJ, Jtr)
+                    dT = se3.exp_se3(dx) if dim == 3 else se3.exp_se2(dx)
                 # differential checker: rolling window of increment sizes
                 # (lpm DifferentialTransformationChecker semantics)
                 dtrans = jnp.linalg.norm(dT[:dim, dim])
@@ -691,7 +724,8 @@ class ShardedMapperStep:
         scatter_insert = self._scatter_insert
 
         def shard_fn(state, table, scan_pos, scan_mask, read_mask, scan_prob,
-                     est_pose, stamp_s, last_t, last_pose, is_mapping, key):
+                     est_pose, stamp_s, last_t, last_pose, is_mapping, key,
+                     of_prev):
             pos, nrm, msk, prob = (state["pos"][0], state["nrm"][0],
                                    state["msk"][0], state["prob"][0])
             my = jax.lax.axis_index(axis)
@@ -809,8 +843,13 @@ class ShardedMapperStep:
                 "merged": do_merge,
                 "count": jax.lax.psum(count, axis),
                 "max_shard_count": jax.lax.pmax(count, axis),
-                "insert_overflow": jax.lax.psum(ins_of, axis),
-                "halo_overflow": jax.lax.psum(halo_of, axis),
+                # RUNNING totals (accumulated device-side from of_prev):
+                # every scan is counted and a double drain() reads the same
+                # number twice instead of adding it twice (ADVICE r3)
+                "insert_overflow":
+                    of_prev["insert"] + jax.lax.psum(ins_of, axis),
+                "halo_overflow":
+                    of_prev["halo"] + jax.lax.psum(halo_of, axis),
                 "last_t": jnp.where(do_merge, stamp_s, last_t),
                 "last_pose": jnp.where(do_merge, corrected, last_pose),
             }
@@ -822,7 +861,7 @@ class ShardedMapperStep:
         fn = shard_map(
             shard_fn, mesh=mesh,
             in_specs=(spec_state, P(), P(), P(), P(), P(), P(), P(), P(),
-                      P(), P(), P()),
+                      P(), P(), P(), {"insert": P(), "halo": P()}),
             out_specs=(spec_state,
                        {"pose": P(), "overlap": P(), "merged": P(),
                         "count": P(), "max_shard_count": P(),
@@ -960,7 +999,13 @@ class ShardedMapperStep:
             mirrors = {
                 "moved": jax.lax.psum(
                     jnp.sum(valid.astype(jnp.int32)), axis),
-                "move_overflow": jax.lax.psum(overflow + ins_of, axis),
+                # buffer-overflow movers STAY VALID on their source shard
+                # (only `fits` rows were cleared) — they are merely not
+                # rebalanced this round, never lost
+                "stayed_home": jax.lax.psum(overflow, axis),
+                # destination scatter overflow would LOSE points — the
+                # caller raises on it (ADVICE r3)
+                "insert_overflow": jax.lax.psum(ins_of, axis),
                 "count": jax.lax.psum(count, axis),
                 "max_shard_count": jax.lax.pmax(count, axis),
             }
@@ -973,7 +1018,8 @@ class ShardedMapperStep:
             shard_fn, mesh=mesh,
             in_specs=(spec_state, P()),
             out_specs=(spec_state,
-                       {"moved": P(), "move_overflow": P(), "count": P(),
+                       {"moved": P(), "stayed_home": P(),
+                        "insert_overflow": P(), "count": P(),
                         "max_shard_count": P()}),
             check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
@@ -1040,6 +1086,10 @@ class ShardedMapper:
                        if self.cfg.window_enabled else None)
         self._pending_pose = None  # device pose of scan i-1 (window driver)
         self.overflow_totals = {"insert": 0, "halo": 0, "evict": 0}
+        # device-resident running insert/halo overflow totals: accumulated
+        # inside the step program so every scan is counted and drain()
+        # ASSIGNS (idempotent) instead of adding (ADVICE r3)
+        self._of_dev = {"insert": jnp.int32(0), "halo": jnp.int32(0)}
         self._epoch_ns: Optional[int] = None
         self._scan_index = 0
         # capacity management: host upper bound on the largest shard's
@@ -1085,6 +1135,22 @@ class ShardedMapper:
         if len(getattr(icp, "reading_step_filters", [])):
             raise NotImplementedError(
                 "sharded backend: readingStepDataPointsFilters unsupported")
+        for f in icp.reading_filters.filters:
+            fname = getattr(f, "NAME", type(f).__name__)
+            if fname in ("OctreeGridDataPointsFilter",
+                         "VoxelGridDataPointsFilter") and int(
+                    f.params.get("samplingMethod", 0)) == 2:
+                raise NotImplementedError(
+                    "sharded backend: readingDataPointsFilters are applied "
+                    f"as a registration mask only; '{fname}' with "
+                    "samplingMethod=2 replaces positions with centroids "
+                    "(geometry edit the mask cannot express)")
+        if icp.minimizer not in ("PointToPlaneErrorMinimizer",
+                                 "PointToPointErrorMinimizer",
+                                 "IdentityErrorMinimizer"):
+            raise NotImplementedError(
+                f"sharded backend: errorMinimizer '{icp.minimizer}' "
+                "unsupported (PointToPlane / PointToPoint / Identity)")
         trimmed = None
         for kind, param in getattr(icp, "outlier_filters", []):
             if kind == "trimmed":
@@ -1309,9 +1375,16 @@ class ShardedMapper:
         self.state, m = self.step.rebalance(
             self.state, jnp.asarray(new_table), move_cap)
         m = jax.device_get(m)
+        if int(m["insert_overflow"]) > 0:
+            # destination scatter overflow drops points — same discipline
+            # as the restore path (_insert_points); the capacity headroom
+            # above makes this unreachable in normal operation (ADVICE r3)
+            raise AssertionError(
+                "sharded rebalance destination overflow despite "
+                f"ensure_capacity: {int(m['insert_overflow'])} points")
         self.overflow_totals["rebalance"] = (
             self.overflow_totals.get("rebalance", 0)
-            + int(m["move_overflow"]))
+            + int(m["stayed_home"]))
         self.table_np = new_table
         self.table = jnp.asarray(new_table)
         self._max_ub = int(m["max_shard_count"])
@@ -1473,7 +1546,9 @@ class ShardedMapper:
             self.state, self.table, scan.positions, scan.mask, read_mask,
             prob, jnp.asarray(est_pose, jnp.float32), stamp_rel,
             self._last_t, self._last_pose, jnp.asarray(bool(is_mapping)),
-            key)
+            key, self._of_dev)
+        self._of_dev = {"insert": m["insert_overflow"],
+                        "halo": m["halo_overflow"]}
         self._max_ub += n_scan  # provisional until the next harvest
         self._since_harvest += 1
         self._scan_index += 1
@@ -1497,8 +1572,10 @@ class ShardedMapper:
                             if k in ("overlap", "merged", "count",
                                      "max_shard_count", "insert_overflow",
                                      "halo_overflow")})
-        self.overflow_totals["insert"] += int(m["insert_overflow"])
-        self.overflow_totals["halo"] += int(m["halo_overflow"])
+        # mirrors carry RUNNING totals — assignment is idempotent across
+        # repeated drains and misses no scans (ADVICE r3)
+        self.overflow_totals["insert"] = int(m["insert_overflow"])
+        self.overflow_totals["halo"] = int(m["halo_overflow"])
         if self._since_harvest > 0:
             # only overwrite when the step mirrors are NEWER than the last
             # authoritative evict/insert harvest (which resets the counter)

