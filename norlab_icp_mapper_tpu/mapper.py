@@ -115,23 +115,30 @@ class Mapper:
 
         # fused pipelined hot path: one XLA program per scan offline, a
         # register + merge program pair online (pose available after the
-        # solve, merge decoupled — reference Mapper.cpp:248-255,280-287);
-        # host reads scan i-1's tiny outputs while scan i computes
+        # solve, merge decoupled — reference Mapper.cpp:248-255,280-287).
+        # Per-scan mirrors (pose, count, merged) are async-copied to host
+        # at dispatch and harvested OPPORTUNISTICALLY: each scan drains the
+        # entries whose copies already landed (is_ready(), ~1 us) — the
+        # loop never blocks on a mirror read unless capacity pressure or
+        # drain() forces it (a blocking device_get costs a ~25 ms
+        # round-trip on tunneled TPU runtimes — measured r4)
         self._use_fused = os.environ.get("NIM_NO_FUSED", "") == ""
         self._fused: Optional[FusedScanStep] = None
         self._fused_state = None
-        self._fused_prev = None  # (pose_dev, count_dev, merged_dev)
-        self._fused_prev_stamp_ns: Optional[int] = None
-        self._fused_count_ub: Optional[int] = None
+        import collections
+        # entries: {pose, count, merged (device), stamp_ns, headroom, scan}
+        self._fused_pending: "collections.deque" = collections.deque()
+        self._pending_headroom_sum = 0
+        self._fused_base_count: Optional[int] = None  # last harvested count
         self._pending_window: list = []
         self._epoch_ns: Optional[int] = None
         self._overlap_dev = None
+        self.PIPELINE_DEPTH = 4  # max un-harvested scans in flight
 
         # keyframes for pose-graph refinement (north-star extra; off unless
         # enable_keyframes() is called)
         self._kf_cfg: Optional[dict] = None
         self._keyframes: list = []  # [(positions_dev, mask_dev, pose_np)]
-        self._kf_prev_scan = None  # scan handle matching _fused_prev
 
         # multi-chip backend: same parsed config, map sharded over the mesh
         self._sharded = None
@@ -337,28 +344,43 @@ class Mapper:
                              estimated_pose: np.ndarray, timestamp_ns: int,
                              scan_valid_hint: Optional[int] = None) -> None:
         """One fused program per scan; host work is O(1) and non-blocking
-        except the tiny (pose, count, merged) read of scan i-1."""
+        (mirrors are harvested opportunistically once their async host
+        copies land)."""
         # apply window events deferred from the previous scan (rare sync)
         if self._pending_window:
             self._drain_fused()
         hint = int(scan_valid_hint) if scan_valid_hint else scan.capacity
         bufs, meta = self._ensure_fused_state()
         headroom = self.map.merge_headroom_scans() * hint
-        if self._fused_count_ub is None:
-            self._fused_count_ub = (
+        if self._fused_base_count is None:
+            self._fused_base_count = (
                 self.map._known_count
                 if self.map._known_count is not None
                 else int(jax.device_get(bufs["map"].count())))
-        if self._fused_count_ub + headroom > bufs["map"].capacity:
-            # growth looks imminent — but the upper bound is provisional
-            # (+headroom per un-harvested scan); harvest the REAL count
-            # first so phantom slack never grows the buffers (every
-            # capacity-proportional pass pays for oversize forever)
-            if self._fused_prev is not None:
-                self._harvest_prev(headroom=0)
-        if self._fused_count_ub + headroom > bufs["map"].capacity:
+
+        def ub():
+            # provisional bound: last harvested count + one headroom per
+            # un-harvested in-flight scan (each could have merged)
+            return self._fused_base_count + self._pending_headroom_sum
+
+        while self._fused_pending and \
+                ub() + headroom > bufs["map"].capacity:
+            # growth looks imminent — but the bound is provisional; harvest
+            # the REAL counts oldest-first so phantom slack never grows the
+            # buffers (every capacity-proportional pass pays for oversize
+            # forever).  Oldest entries have usually landed (cheap read);
+            # only a genuinely full pipeline blocks here.
+            self._harvest_entry(self._fused_pending.popleft())
+        if ub() + headroom > bufs["map"].capacity:
             from .points import bucket_capacity
-            new_cap = bucket_capacity(self._fused_count_ub + headroom)
+            # size for TWO scans of headroom: one-scan slack made the
+            # pre-dispatch harvest above fire (and block) on EVERY scan — a
+            # synchronous device_get that serialized the pipeline (measured
+            # 70 ms/scan wall vs 39 ms device at bench shapes).  Three
+            # scans of slack was tried and lost more to capacity-
+            # proportional merge passes than the extra pipeline depth
+            # gained (bench r4: 17.8 vs 20.5 scans/s).
+            new_cap = bucket_capacity(ub() + 2 * headroom)
             bufs = {k: v.pad_to(new_cap) for k, v in bufs.items()}
 
         # f32 seconds relative to the session epoch: exact to well under the
@@ -388,7 +410,8 @@ class Mapper:
             # them so later accessors fail loudly instead of touching
             # deleted device memory (ADVICE r1).
             self._fused_state = None
-            self._fused_prev = None
+            self._fused_pending.clear()
+            self._pending_headroom_sum = 0
             self.map.local = None
             self.map._known_count = 0
             self.icp._ref = None
@@ -397,7 +420,6 @@ class Mapper:
                 "map state was donated and is unrecoverable — rebuild the "
                 "Mapper or set_map() before continuing") from e
         self._fused_state = (new_bufs, new_meta)
-        self._fused_count_ub += headroom  # provisional until next harvest
 
         # expose live handles (no sync)
         self.map.local = new_bufs["map"]
@@ -407,34 +429,55 @@ class Mapper:
         self.pose = new_meta["pose"]
         self.trajectory.add_pose(new_meta["pose"], timestamp_ns)
 
-        # harvest scan i-1's mirrors while scan i computes on device
-        if self._fused_prev is not None:
-            self._harvest_prev(headroom)
-        self._fused_prev = (new_meta["pose"], aux["count"], aux["merged"])
-        self._fused_prev_stamp_ns = int(timestamp_ns)
-        if self._kf_cfg is not None:
-            self._kf_prev_scan = scan
+        # enqueue this scan's mirrors with an async host copy filed NOW: a
+        # plain device_get over the tunneled runtime costs a full request
+        # round-trip (~25 ms measured); the async copy streams back as soon
+        # as the program finishes and the later read is ~0.3 ms
+        entry = {"pose": new_meta["pose"], "count": aux["count"],
+                 "merged": aux["merged"], "stamp_ns": int(timestamp_ns),
+                 "headroom": headroom,
+                 "scan": scan if self._kf_cfg is not None else None}
+        for mirror in (entry["pose"], entry["count"], entry["merged"]):
+            mirror.copy_to_host_async()
+        self._fused_pending.append(entry)
+        self._pending_headroom_sum += headroom
 
-    def _harvest_prev(self, headroom: int) -> None:
-        """Read scan i-1's tiny mirrors (pose, count, merged) and fold them
-        into host bookkeeping.  Merge timestamps/poses are recorded here in
-        EXACT integer ns / full precision from the host-side stamp of that
-        scan — the in-program f32 ``last_t`` is only the delay-gate operand,
-        never read back (ADVICE r1: f32 drift)."""
-        pose_prev, count_prev, merged_prev = jax.device_get(self._fused_prev)
-        self._fused_count_ub = int(count_prev) + headroom
-        self.map._known_count = int(count_prev)  # one scan stale
+        # opportunistic harvest: fold in every entry whose copies landed
+        # (is_ready() is ~1 us); never block in the loop
+        while self._fused_pending and \
+                self._fused_pending[0]["merged"].is_ready() and \
+                self._fused_pending[0]["count"].is_ready() and \
+                self._fused_pending[0]["pose"].is_ready():
+            self._harvest_entry(self._fused_pending.popleft())
+        while len(self._fused_pending) > self.PIPELINE_DEPTH:
+            self._harvest_entry(self._fused_pending.popleft())
+
+    def _harvest_entry(self, entry) -> None:
+        """Fold one scan's tiny mirrors (pose, count, merged) into host
+        bookkeeping.  Merge timestamps/poses are recorded here in EXACT
+        integer ns / full precision from the host-side stamp of that scan —
+        the in-program f32 ``last_t`` is only the delay-gate operand, never
+        read back (ADVICE r1: f32 drift)."""
+        pose_prev, count_prev, merged_prev = jax.device_get(
+            (entry["pose"], entry["count"], entry["merged"]))
+        self._fused_base_count = int(count_prev)
+        self._pending_headroom_sum -= entry["headroom"]
+        self.map._known_count = int(count_prev)  # a few scans stale
         if bool(merged_prev):
             self.map.new_local_available = True
-            self.last_time_map_was_updated = self._fused_prev_stamp_ns
+            self.last_time_map_was_updated = entry["stamp_ns"]
             self.last_pose_where_map_was_updated = np.asarray(pose_prev)
-            if self._kf_cfg is not None and self._kf_prev_scan is not None:
-                self._maybe_keyframe(self._kf_prev_scan,
-                                     np.asarray(pose_prev))
+            if self._kf_cfg is not None and entry["scan"] is not None:
+                self._maybe_keyframe(entry["scan"], np.asarray(pose_prev))
         upd = self.map.update_pose(np.asarray(pose_prev), defer=True)
         if upd:
             self._pending_window.extend(upd)
-        self._fused_prev = None
+
+    def _harvest_all(self) -> None:
+        """Blocking flush of every pending mirror entry (capacity pressure
+        or drain)."""
+        while self._fused_pending:
+            self._harvest_entry(self._fused_pending.popleft())
 
     def _ensure_fused_state(self):
         if self._fused is None:
@@ -454,7 +497,7 @@ class Mapper:
             self._fused_state = self._fused.init_state(
                 local, ref, pose, self.last_pose_where_map_was_updated,
                 last_t_s)
-            self._fused_count_ub = self.map._known_count
+            self._fused_base_count = self.map._known_count
         return self._fused_state
 
     def drain(self) -> None:
@@ -475,8 +518,7 @@ class Mapper:
     def _drain_fused(self) -> None:
         """Sync point: harvest in-flight mirrors, apply deferred window
         updates, hand device state back to Map/ICP host bookkeeping."""
-        if self._fused_prev is not None:
-            self._harvest_prev(headroom=0)
+        self._harvest_all()
         if self._fused_state is not None:
             bufs, meta = self._fused_state
             self.pose = np.asarray(jax.device_get(meta["pose"]))
