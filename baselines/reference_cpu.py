@@ -128,9 +128,75 @@ def dynamic_points_update(scan_pos, map_pos, map_normals, prob_dyn, pose,
     return out
 
 
+
+
+# ------------------------------------------------- point-to-plane GN (ICP)
+
+def _exp_se3(x):
+    """se(3) exp: x = [t(3), w(3)] -> 4x4 (Rodrigues)."""
+    t, w = x[:3], x[3:]
+    th = np.linalg.norm(w)
+    T = np.eye(4)
+    if th < 1e-12:
+        T[:3, 3] = t
+        return T
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
+def icp_p2plane(read_pos, map_pos, map_normals, rng, knn=3, max_dist=2.0,
+                trim_ratio=0.85, max_iter=40, min_diff_t=0.001,
+                min_diff_r=0.001, smooth=4, read_prob=0.5):
+    """The reference hot loop (Mapper.cpp:208-223 -> lpm ICP chain):
+    kd-tree KNN match, trimmed outlier gate, point-to-plane Gauss-Newton,
+    counter + differential checkers.  Returns the correction transform."""
+    keep = rng.random(read_pos.shape[0]) < read_prob  # reading filter
+    p0 = read_pos[keep]
+    tree = cKDTree(map_pos)  # lpm builds at setMap; one build per solve
+    T = np.eye(4)
+    hist = []
+    for it in range(max_iter):
+        p = p0 @ T[:3, :3].T + T[:3, 3]
+        d, idx = tree.query(p, k=knn, distance_upper_bound=max_dist)
+        d = d.reshape(len(p), -1)
+        idx = idx.reshape(len(p), -1)
+        ok = np.isfinite(d)
+        if not ok.any():
+            break
+        # trimmed: keep best `ratio` fraction of matched pairs
+        dv = d[ok]
+        thr = np.quantile(dv, min(trim_ratio, 1.0))
+        ok &= d <= thr
+        pi, ki = np.nonzero(ok)
+        q = map_pos[idx[ok]]
+        nq = map_normals[idx[ok]]
+        pp = p[pi]
+        r = np.sum(nq * (pp - q), axis=1)
+        J = np.concatenate([nq, np.cross(pp, nq)], axis=1)
+        JtJ = J.T @ J
+        Jtr = J.T @ r
+        lam = 1e-3 * np.trace(JtJ) / 6 + 1e-6
+        dx = -np.linalg.solve(JtJ + lam * np.eye(6), Jtr)
+        dT = _exp_se3(dx)
+        T = dT @ T
+        dtr = float(np.linalg.norm(dT[:3, 3]))
+        dro = float(np.arccos(np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1)))
+        hist.append((dtr, dro))
+        if len(hist) >= smooth:
+            w = hist[-smooth:]
+            if (sum(h[0] for h in w) / smooth < min_diff_t
+                    and sum(h[1] for h in w) / smooth < min_diff_r):
+                break
+    return T
+
+
 # ----------------------------------------------------------------- pipeline
 
-def run(data_path, n_scans=None, verbose=False):
+def run(data_path, n_scans=None, verbose=False, mode="identity"):
     scans_dir = os.path.join(data_path, "scans")
     scan_files = sorted(f for f in os.listdir(scans_dir) if f.endswith(".vtk"))
     poses = read_trajectory_csv(os.path.join(data_path, "icp_odom.csv"))
@@ -158,12 +224,22 @@ def run(data_path, n_scans=None, verbose=False):
         # to map frame
         world = pos @ pose[:3, :3].T + pose[:3, 3]
 
-        # ICP: identity error minimizer — matcher runs (kd-tree build +
-        # 6-NN query, the reference's per-scan registration cost), correction
-        # stays identity (reference example config)
+        # ICP (reference Mapper.cpp:208-223)
         if map_pos is not None:
-            tree = cKDTree(map_pos)
-            tree.query(world, k=6, distance_upper_bound=2.0)
+            if mode == "p2plane" and "normals" in map_desc:
+                # flagship correction path (examples/config_p2plane.yaml):
+                # 3-NN maxDist 2, trimmed 0.85, P2Plane GN, counter 40 +
+                # differential(0.001/0.001/4) checkers
+                correction = icp_p2plane(world, map_pos,
+                                         map_desc["normals"], rng)
+                pose = correction @ pose
+                world = world @ correction[:3, :3].T + correction[:3, 3]
+            else:
+                # identity minimizer — matcher runs (kd-tree build + 6-NN
+                # query, the reference's per-scan registration cost),
+                # correction stays identity (reference example config)
+                tree = cKDTree(map_pos)
+                tree.query(world, k=6, distance_upper_bound=2.0)
 
         # delay update condition (0.05 s)
         if map_pos is None:
@@ -203,9 +279,7 @@ def run(data_path, n_scans=None, verbose=False):
 
 if __name__ == "__main__":
     data = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/examples/data"
-    t0 = time.perf_counter()
     map_pos, map_desc, traj, per_scan = run(data, verbose=True)
-    total = time.perf_counter() - t0
     n = len(per_scan)
     result = {
         "scans_per_sec_cpu": n / sum(per_scan),
@@ -213,6 +287,12 @@ if __name__ == "__main__":
         "n_scans": n,
         "map_points": int(map_pos.shape[0]),
     }
+    # the flagship correction path gets its own yardstick
+    # (VERDICT r3 missing #2): same pipeline, P2Plane GN solve
+    map_pos2, _, _, per_scan2 = run(data, verbose=True, mode="p2plane")
+    result["p2plane_scans_per_sec_cpu"] = n / sum(per_scan2)
+    result["p2plane_median_ms_per_scan"] = float(np.median(per_scan2) * 1e3)
+    result["p2plane_map_points"] = int(map_pos2.shape[0])
     print(json.dumps(result))
     out = os.path.join(os.path.dirname(__file__), "..", "BASELINE_MEASURED.json")
     with open(out, "w") as f:

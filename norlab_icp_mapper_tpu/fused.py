@@ -42,9 +42,12 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import se3
 from .points import PointBatch
+from .ops.nn import _use_pallas as _nn_use_pallas
+from .ops.nn_sweep import presort_ref
 
 __all__ = ["FusedScanStep"]
 
@@ -72,6 +75,14 @@ class FusedScanStep:
     def has_ref(self) -> bool:
         return len(self._m.icp.reference_filters) > 0
 
+    @property
+    def _use_presort(self) -> bool:
+        # the sweep matcher (radius-capped, TPU) sorts the reference by x;
+        # the reference only changes at merges, so the sorted pack is
+        # carried in the donated state instead of re-sorting every solve
+        return (np.isfinite(self._m.icp.match_max_dist)
+                and _nn_use_pallas())
+
     def init_state(self, local: PointBatch, ref, pose, last_pose,
                    last_t_s: float):
         """Returns (bufs, meta) device state."""
@@ -79,6 +90,9 @@ class FusedScanStep:
         bufs = {"map": local}
         if self.has_ref:
             bufs["ref"] = ref if ref is not None else local
+        if self._use_presort:
+            sref = bufs.get("ref", bufs["map"])
+            bufs["ref_sort"] = presort_ref(sref.positions, sref.mask)
         meta = {
             "pose": jnp.asarray(pose, f32),
             "last_pose": jnp.asarray(last_pose, f32),
@@ -120,7 +134,7 @@ class FusedScanStep:
                                           jnp.zeros_like(ref.positions))
         correction, overlap, iters, _resid = m.icp.solve_partial()(
             reading.positions, reading.mask, ref.positions, ref_normals,
-            ref.mask, k_solve)
+            ref.mask, k_solve, ref_presorted=bufs.get("ref_sort"))
         corrected = correction @ est_pose
 
         # --- update condition on device (Mapper.cpp:240-272)
@@ -152,21 +166,21 @@ class FusedScanStep:
                 local = se3.apply(inv, local)
                 local = m.post_filters._apply_impl(local, k_post)
                 local = se3.apply(corrected, local)
+            new = {"map": local}
             if self.has_ref:
-                return local, m.icp.reference_filters._apply_impl(
+                new["ref"] = m.icp.reference_filters._apply_impl(
                     local, k_ref)
-            return (local,)
+            if "ref_sort" in bufs:
+                # the solve reference changed — rebuild the sorted pack
+                # (once per merge instead of once per solve)
+                sref = new.get("ref", new["map"])
+                new["ref_sort"] = presort_ref(sref.positions, sref.mask)
+            return new
 
         def keep(_):
-            if self.has_ref:
-                return bufs["map"], bufs["ref"]
-            return (bufs["map"],)
+            return dict(bufs)
 
-        outs = jax.lax.cond(do_merge, merge, keep, None)
-        new_bufs = {"map": outs[0]}
-        if self.has_ref:
-            new_bufs["ref"] = outs[1]
-        return new_bufs
+        return jax.lax.cond(do_merge, merge, keep, None)
 
     def _step_impl(self, bufs, meta, scan, est_pose, stamp_s, is_mapping,
                    key):

@@ -351,10 +351,16 @@ def _rot_angle(R: jax.Array) -> jax.Array:
     "dim", "k", "max_dist", "outlier_filters", "minimizer", "max_iter",
     "diff_checker", "bound_checker", "step_filter"))
 def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
-               rng_key=None, *,
+               rng_key=None, ref_presorted=None, *,
                dim, k, max_dist, outlier_filters, minimizer, max_iter,
                diff_checker, bound_checker, step_filter=None):
-    """One fused ICP registration: while_loop{ match → weight → minimize }."""
+    """One fused ICP registration: while_loop{ match → weight → minimize }.
+
+    ``ref_presorted`` optionally carries ``ops.nn_sweep.presort_ref``'s
+    output for ``ref_pos``/``ref_mask`` (the fused step caches it across
+    scans); otherwise the sweep path presorts ONCE here — either way the
+    sort stays out of the per-iteration loop.
+    """
     f32 = jnp.float32
     hdim = dim + 1
     n_valid_read = jnp.maximum(jnp.sum(read_mask.astype(f32)), 1.0)
@@ -372,12 +378,16 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
     # radius-capped matcher -> per-backend engine (sorted-sweep + Pallas
     # kernel on TPU, spatial hash elsewhere); the hash table is rebuilt per
     # solve only on non-TPU backends where it is cheap relative to search.
+    gh_table = None
+    sweep_presorted = None
     if max_radius is not None and not _nn_use_pallas():
         gh_table, gh_overflow = build_grid(ref_pos, ref_mask, max_radius,
                                            H=_GH_H, C=_GH_C)
         record_overflow("icp_matcher_grid", gh_overflow)
-    else:
-        gh_table = None
+    elif max_radius is not None:
+        from ..ops.nn_sweep import presort_ref
+        sweep_presorted = (ref_presorted if ref_presorted is not None
+                           else presort_ref(ref_pos, ref_mask))
 
     def match_and_weigh(T, it_key):
         p = se3.apply_points(T, read_pos)  # [N, D]
@@ -398,7 +408,8 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
             from ..ops.nn_sweep import sweep_knn
             d2, idx, overflow = sweep_knn(p, ref_pos, cur_mask, ref_mask,
                                           k=k, max_radius=max_radius,
-                                          q_tile=2048, W=8192)
+                                          q_tile=2048, W=8192,
+                                          presorted=sweep_presorted)
             record_overflow("icp_matcher_sweep", overflow)
         else:
             d2, idx = knn(p, ref_pos, cur_mask, ref_mask, k=k,

@@ -381,7 +381,12 @@ class Mapper:
             # proportional merge passes than the extra pipeline depth
             # gained (bench r4: 17.8 vs 20.5 scans/s).
             new_cap = bucket_capacity(ub() + 2 * headroom)
-            bufs = {k: v.pad_to(new_cap) for k, v in bufs.items()}
+            bufs = {k: v.pad_to(new_cap) for k, v in bufs.items()
+                    if k != "ref_sort"}
+            if self._fused._use_presort:
+                from .ops.nn_sweep import presort_ref
+                sref = bufs.get("ref", bufs["map"])
+                bufs["ref_sort"] = presort_ref(sref.positions, sref.mask)
 
         # f32 seconds relative to the session epoch: exact to well under the
         # delay-condition scale for multi-day sessions (resolution at 1e5 s

@@ -26,7 +26,21 @@ import numpy as np
 
 from .nn_pallas import knn_pallas, BIG
 
-__all__ = ["sweep_knn"]
+__all__ = ["sweep_knn", "presort_ref"]
+
+
+@jax.jit
+def presort_ref(ref: jax.Array, ref_mask: jax.Array):
+    """Sort refs by x, invalid refs to the end (x -> +BIG).  The sorted
+    pack ``(ref_s, ref_mask_s, ref_xs, ref_order)`` feeds ``sweep_knn``'s
+    ``presorted`` argument — the sort (+gather) is ~5 ms at map shapes and
+    the reference cloud is static across GN iterations (and across scans
+    until a merge), so hoisting it out of the solve loop is a direct
+    per-iteration saving."""
+    ref_x = jnp.where(ref_mask, ref[:, 0], BIG)
+    ref_order = jnp.argsort(ref_x).astype(jnp.int32)
+    return (ref[ref_order], ref_mask[ref_order], ref_x[ref_order],
+            ref_order)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "W", "use_pallas"))
@@ -40,11 +54,14 @@ def sweep_knn(
     q_tile: int = 4096,
     W: int = 8192,
     use_pallas: bool = True,
+    presorted=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Radius-capped KNN via the sorted sweep.
 
     Returns ``(dists2 [N, k], idx [N, k], overflow i32)`` — ``overflow`` is
-    the number of live query tiles whose candidate span exceeded ``W``."""
+    the number of live query tiles whose candidate span exceeded ``W``.
+    ``presorted`` optionally supplies :func:`presort_ref`'s output (must
+    have been built from the same ``ref``/``ref_mask``)."""
     n, dim = query.shape
     m = ref.shape[0]
     if query_mask is None:
@@ -54,12 +71,14 @@ def sweep_knn(
     W = min(W, m)
     r = jnp.float32(max_radius)
 
-    # sort refs by x; invalid refs to the end (x -> +BIG)
-    ref_x = jnp.where(ref_mask, ref[:, 0], BIG)
-    ref_order = jnp.argsort(ref_x)
-    ref_s = ref[ref_order]
-    ref_mask_s = ref_mask[ref_order]
-    ref_xs = ref_x[ref_order]
+    if presorted is not None:
+        ref_s, ref_mask_s, ref_xs, ref_order = presorted
+    else:
+        ref_x = jnp.where(ref_mask, ref[:, 0], BIG)
+        ref_order = jnp.argsort(ref_x)
+        ref_s = ref[ref_order]
+        ref_mask_s = ref_mask[ref_order]
+        ref_xs = ref_x[ref_order]
 
     # sort queries by x; invalid queries to the end
     q_x = jnp.where(query_mask, query[:, 0], BIG)

@@ -192,8 +192,27 @@ def _octree_select(positions, mask, voxel_size, method, key,
     start_at_lev = jnp.take_along_axis(starts, lev[None, :], axis=0)[0]
     is_first_leaf = sv & (iota == start_at_lev)
 
-    if method in (0, 1):
+    if method == 0:
         keep = jnp.zeros((n,), bool).at[order].set(is_first_leaf)
+        return keep, positions
+
+    if method == 1:
+        # uniformly random representative over the WHOLE leaf: the sort
+        # key's random tie-break only randomizes within one base voxel
+        # (points of the morton-lowest voxel always won a multi-voxel
+        # leaf — ADVICE r3).  The leaf's start index is a valid segment
+        # id shared by all its members, so a segment argmin of a fresh
+        # random key picks uniformly among the leaf's valid points.
+        u = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0,
+                               jnp.int32(2 ** 30), dtype=jnp.int32)
+        u = jnp.where(sv, u, jnp.int32(2 ** 30))
+        seg = start_at_lev
+        leaf_min = jax.ops.segment_min(u, seg, num_segments=n)
+        is_min = sv & (u <= leaf_min[seg])
+        first_rank = jax.ops.segment_min(
+            jnp.where(is_min, iota, n), seg, num_segments=n)
+        chosen = sv & (iota == first_rank[seg])
+        keep = jnp.zeros((n,), bool).at[order].set(chosen)
         return keep, positions
 
     seg_id = jnp.maximum(jnp.cumsum(is_first_leaf.astype(jnp.int32)) - 1, 0)

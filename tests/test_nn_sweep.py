@@ -76,3 +76,23 @@ def test_sweep_overflow_reported(rng):
     _, _, ov = sweep_knn(q, q, k=1, max_radius=1.0, q_tile=128, W=256,
                          use_pallas=False)
     assert int(ov) > 0
+
+
+def test_presorted_matches_unsorted(rng):
+    """sweep_knn(presorted=presort_ref(...)) must equal the self-sorting
+    call — the fused step carries the sorted pack across scans (r4)."""
+    import jax.numpy as jnp
+    from norlab_icp_mapper_tpu.ops.nn_sweep import sweep_knn, presort_ref
+    q = jnp.asarray(rng.uniform(-10, 10, (500, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-10, 10, (2000, 3)).astype(np.float32))
+    qm = jnp.asarray(rng.random(500) > 0.1)
+    rm = jnp.asarray(rng.random(2000) > 0.1)
+    d0, i0, o0 = sweep_knn(q, r, qm, rm, k=3, max_radius=1.5,
+                           q_tile=128, W=512, use_pallas=False)
+    pre = presort_ref(r, rm)
+    d1, i1, o1 = sweep_knn(q, r, qm, rm, k=3, max_radius=1.5,
+                           q_tile=128, W=512, use_pallas=False,
+                           presorted=pre)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+    assert int(o0) == int(o1)

@@ -66,3 +66,27 @@ def test_centroid_method_with_k():
     assert keep.sum() == 1
     got = np.asarray(centroid)[keep][0]
     np.testing.assert_allclose(got, pts.mean(axis=0), atol=1e-6)
+
+
+def test_random_method_uniform_over_leaf():
+    """ADVICE r3: samplingMethod=1 with K>1 must pick a uniformly random
+    point of the LEAF, not just of its morton-lowest base voxel."""
+    import jax
+    # one level-1 (2x2x2) leaf: 1 point in the morton-lowest voxel,
+    # 3 points in a higher voxel; K=4 -> one representative per leaf
+    pts = jnp.asarray(np.array([[0.5, 0.5, 0.5],
+                                [1.5, 1.5, 1.5],
+                                [1.2, 1.7, 1.4],
+                                [1.8, 1.1, 1.6]], np.float32))
+    chosen = np.zeros(4)
+    for s in range(64):
+        keep, _ = voxel_select(pts, jnp.ones(4, bool), 1.0, method=1,
+                               key=jax.random.PRNGKey(s),
+                               max_point_by_node=4, max_coarsen_levels=4)
+        k = np.asarray(keep)
+        assert k.sum() == 1, k
+        chosen += k
+    # uniform-ish: every point wins sometimes; the old behavior picked
+    # point 0 (alone in the lowest voxel) every time
+    assert (chosen > 0).all(), chosen
+    assert chosen[0] < 40, chosen  # not the perpetual winner
