@@ -37,29 +37,39 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import numpy as np
 
 V5E_BF16_TFLOPS = 394.0  # per chip, public figure
-F32_FACTOR = 1.0 / 4.0  # f32-via-bf16x3 + rounding passes (approx)
+F32_FACTOR = 1.0 / 4.0  # legacy matmul-roof scaling kept for row parity
 ROOF = V5E_BF16_TFLOPS * 1e12 * F32_FACTOR
-# VPU estimate: 8 sublanes x 128 lanes x ~4-wide f32 ALU x ~0.94 GHz.
-# For D=3 NN the MATMUL roof is not the binding roof: the cross-term has
-# only 3 MXU flops/pair (and the padded-8 contraction runs the MXU at
-# 8/128 utilization), while the min/argmin epilogue costs ~3 VPU
-# element-passes per pair — the kernel is VPU-reduction-bound.
-V5E_VPU_TOPS = 3.85
+V5E_VPU_TOPS = 3.85  # 8 sublanes x 128 lanes x ~4-wide f32 ALU x ~0.94 GHz
 VPU_ROOF = V5E_VPU_TOPS * 1e12
+# CORRECTED roof model (r4, measured — replaces r3's "VPU epilogue is
+# binding" claim): at f32 HIGHEST the MXU cross-term IS the binding
+# resource for k=1.  The D=3 contraction pads to the MXU's 128-deep
+# systolic pass, so every pair consumes 128 MACs per pass, and HIGHEST
+# f32 runs 6 bf16 passes -> pair-rate roof =
+#   (394e12/2 MAC/s) / (128 * 6) = 256 Gpair/s.
+# Evidence (r4 component runs): folding the epilogue FMA into the matmul
+# changed nothing (epilogue not binding); dropping the matmul to
+# 1-pass DEFAULT ran 3.07x faster (precision passes ARE binding) but with
+# |d2| error up to ~17 m^2 at +-50 m coords — unusable for exact NN.
+MXU_MAC_PER_S = V5E_BF16_TFLOPS * 1e12 / 2.0
+K1_PAIR_ROOF_HIGHEST = MXU_MAC_PER_S / (128.0 * 6)
+K1_PAIR_ROOF_DEFAULT = MXU_MAC_PER_S / 128.0
 
 
 def timed(f, *args):
     import jax
-    jax.block_until_ready(f(*args))  # compile
-    # the tunneled backend has a ~23 ms completion-notification latency
-    # per host sync; amortize it over CHAIN back-to-back executions so
-    # the measurement reflects device time
+    jax.device_get(jax.tree.leaves(f(*args))[0])  # compile + sync
+    # the tunneled backend has a ~25 ms round-trip per blocking read (and
+    # block_until_ready does NOT reliably sync on it — measured r4);
+    # amortize ONE device_get over CHAIN back-to-back executions so the
+    # measurement reflects device time
     CHAIN = 20
     ts = []
     for _ in range(4):
         t0 = time.perf_counter()
-        outs = [f(*args) for _ in range(CHAIN)]
-        jax.block_until_ready(outs[-1])
+        for _ in range(CHAIN):
+            out = f(*args)
+        jax.device_get(jax.tree.leaves(out)[0])
         ts.append((time.perf_counter() - t0) / CHAIN)
     return float(np.median(ts))
 
@@ -100,14 +110,59 @@ def main():
         # epilogue VPU ops/pair: shifted-distance FMA + min + argmin for
         # k=1; k rounds of min-extraction (min/argmin/select) for k>1
         vpu_ops = pairs * (3.0 if k == 1 else 1.0 + 3.0 * k)
-        rows.append({
+        row = {
             "kernel": "knn_pallas", "N": n, "M": m, "k": k,
             "ms": round(dt * 1e3, 2),
             "gpairs_per_s": round(pairs / dt / 1e9, 1),
             "matmul_roof_pct": round(100.0 * (flops / dt) / ROOF, 1),
             "vpu_roof_pct": round(100.0 * (vpu_ops / dt) / VPU_ROOF, 1),
-        })
+        }
+        if k == 1:
+            # the corrected binding roof: 6-pass f32 cross-term on the
+            # 128-padded MXU contraction (see header)
+            row["mxu_k1_roof_pct"] = round(
+                100.0 * (pairs / dt) / K1_PAIR_ROOF_HIGHEST, 1)
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
+
+    # ---- component attribution at the flagship k=1 shape: where do the
+    # milliseconds actually go, and what does each precision buy?
+    n, m = 49152, 163840
+    q = jnp.asarray(rng.uniform(0, 100, (n, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(0, 100, (m, 3)).astype(np.float32))
+    qm = jnp.ones((n,), bool)
+    rm = jnp.ones((m,), bool)
+    f_hi = jax.jit(lambda q, r: knn_pallas(q, r, qm, rm, k=1))
+    f_lo = jax.jit(lambda q, r: knn_pallas(
+        q, r, qm, rm, k=1, precision=jax.lax.Precision.DEFAULT))
+    dt_hi = timed(f_hi, q, r)
+    dt_lo = timed(f_lo, q, r)
+    d_hi, i_hi = (np.asarray(jax.device_get(v)) for v in f_hi(q, r))
+    d_lo, i_lo = (np.asarray(jax.device_get(v)) for v in f_lo(q, r))
+    pairs = n * m
+    components = {
+        "shape": [n, m, 1],
+        "full_highest_ms": round(dt_hi * 1e3, 2),
+        "full_default_ms": round(dt_lo * 1e3, 2),
+        "default_speedup": round(dt_hi / dt_lo, 2),
+        # 1 DEFAULT pass vs 6 HIGHEST passes isolates the matmul share:
+        # mm6 ~ 6/5 * (dt_hi - dt_lo), epilogue ~ dt_hi - mm6
+        "mm6_ms_est": round((dt_hi - dt_lo) * 6 / 5 * 1e3, 2),
+        "epilogue_ms_est": round(
+            (dt_hi - (dt_hi - dt_lo) * 6 / 5) * 1e3, 2),
+        "mm6_gpairs_per_s": round(
+            pairs / ((dt_hi - dt_lo) * 6 / 5) / 1e9, 1),
+        "mm6_pct_of_mxu_roof": round(
+            100.0 * pairs / ((dt_hi - dt_lo) * 6 / 5)
+            / K1_PAIR_ROOF_HIGHEST, 1),
+        "default_idx_agreement": round(
+            float((i_hi[:, 0] == i_lo[:, 0]).mean()), 4),
+        "default_max_d2_err": round(
+            float(np.nanmax(np.abs(
+                np.where(np.isfinite(d_hi[:, 0]) & np.isfinite(d_lo[:, 0]),
+                         d_hi[:, 0] - d_lo[:, 0], 0.0)))), 3),
+    }
+    print(json.dumps({"components": components}), flush=True)
 
     pca_configs = [
         # (N queries == refs) — normals recompute over the merged map
@@ -138,19 +193,27 @@ def main():
         print(json.dumps(rows[-1]), flush=True)
 
     with open(args.out, "w") as fh:
-        json.dump({"roof_model": {
+        json.dump({"components": components, "roof_model": {
             "v5e_bf16_tflops": V5E_BF16_TFLOPS,
             "f32_factor": F32_FACTOR,
             "v5e_vpu_tops_est": V5E_VPU_TOPS,
-            "note": "f32 HIGHEST matmuls; matmul roof = bf16 peak / 4. "
-                    "For D=3 NN the binding roof is the VPU epilogue "
-                    "(3 MXU flop/pair vs ~3 VPU passes/pair; the padded-8 "
-                    "contraction also caps MXU utilization at 8/128): "
-                    "vpu_roof_pct is the relevant speed-of-light figure. "
-                    "Tile sweep measured FLAT 67-80 ms across "
-                    "(tq,tr) in {512..4096}x{256..2048} at 49k x 164k, "
-                    "confirming the bound is per-pair VPU work, not "
-                    "layout."},
+            "k1_pair_roof_highest_gpairs": round(
+                K1_PAIR_ROOF_HIGHEST / 1e9, 1),
+            "k1_pair_roof_default_gpairs": round(
+                K1_PAIR_ROOF_DEFAULT / 1e9, 1),
+            "note": "CORRECTED r4 roof model (replaces r3's VPU-epilogue "
+                    "claim): for exact-f32 k=1 the BINDING resource is "
+                    "the HIGHEST (6-pass bf16) cross-term on the "
+                    "128-padded MXU contraction — roof = 197e12 MACs / "
+                    "(128*6) = 256 Gpair/s; see 'components' for the "
+                    "measured attribution (folding the epilogue FMA into "
+                    "the matmul changed nothing; 1-pass DEFAULT runs "
+                    "~3x faster but misranks neighbors at map coordinate "
+                    "scales, so exact mode keeps HIGHEST).  k>1 remains "
+                    "epilogue-bound (k min-extraction rounds); "
+                    "vpu_roof_pct applies there.  NOTE the production "
+                    "matcher does ~20x fewer pairs than these brute-force "
+                    "shapes via the sorted sweep (ops/nn_sweep.py)."},
             "rows": rows}, fh, indent=1)
     print(f"wrote {args.out}", flush=True)
 

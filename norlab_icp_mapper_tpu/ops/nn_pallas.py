@@ -50,7 +50,8 @@ def planarize(points: jax.Array, mask: Optional[jax.Array],
     return out
 
 
-def _kernel(q_ref, r_ref, d_out, i_out, *, k, tq, tr, dim):
+def _kernel(q_ref, r_ref, d_out, i_out, *, k, tq, tr, dim,
+            precision=None):
     """Running top-k in SHIFTED distance space: the kernel ranks pairs by
     ``s = |r|^2 - 2 q.r`` — the true d2 minus the per-query constant
     ``|q|^2`` — which preserves per-query ordering while saving the q2
@@ -71,7 +72,11 @@ def _kernel(q_ref, r_ref, d_out, i_out, *, k, tq, tr, dim):
     cross = jax.lax.dot_general(
         r, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # [TR, TQ], full f32 (see nn.py)
+        precision=precision or jax.lax.Precision.HIGHEST,
+    )  # [TR, TQ]; HIGHEST = full f32 (see nn.py).  The 6-pass HIGHEST
+    # cross-term is the kernel's binding resource at k=1 (measured r4:
+    # 1-pass DEFAULT runs 3.07x faster but its bf16 rounding misranks
+    # neighbors at map coordinate scales — exactness wins)
     s = r2[:, None] - 2.0 * cross  # [TR, TQ] shifted distances
 
     base = j * tr
@@ -107,12 +112,14 @@ def _kernel(q_ref, r_ref, d_out, i_out, *, k, tq, tr, dim):
     i_out[:, :] = jnp.concatenate(i_rows, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "dim"))
-def _knn_planar(qp, rp, *, k, tq, tr, dim):
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "dim",
+                                             "precision"))
+def _knn_planar(qp, rp, *, k, tq, tr, dim, precision=None):
     n_pad = qp.shape[1]
     m_pad = rp.shape[1]
     grid = (n_pad // tq, m_pad // tr)
-    kern = functools.partial(_kernel, k=k, tq=tq, tr=tr, dim=dim)
+    kern = functools.partial(_kernel, k=k, tq=tq, tr=tr, dim=dim,
+                             precision=precision)
     d, i = pl.pallas_call(
         kern,
         grid=grid,
@@ -154,8 +161,9 @@ def knn_pallas(
     max_radius: Optional[float] = None,
     tq: int = 1024,
     tr: int = 1024,  # measured best on v5e (flat 67-80 ms across tiles at
-                     # 49k x 164k — the kernel is VPU-reduction-bound, not
-                     # layout-bound; see baselines/speed_of_light.py)
+                     # 49k x 164k; see baselines/speed_of_light.py)
+    precision=None,  # None = HIGHEST (exact f32); lax.Precision.DEFAULT
+                     # trades exactness for ~3x (diagnostics only)
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for ``ops.nn.knn`` running as a Pallas kernel.
 
@@ -167,7 +175,8 @@ def knn_pallas(
     m_pad = _round_up(max(m, tr), tr)
     qp = planarize(query, query_mask, n_pad)
     rp = planarize(ref, ref_mask, m_pad)
-    s, i = _knn_planar(qp, rp, k=k, tq=tq, tr=tr, dim=dim)
+    s, i = _knn_planar(qp, rp, k=k, tq=tq, tr=tr, dim=dim,
+                       precision=precision)
     # the kernel returns SHIFTED distances s = d2 - |q|^2 (see _kernel);
     # add q2 back, clamp, and resolve invalid-ref sentinels here — O(N*k)
     # work instead of per-pair
