@@ -35,16 +35,20 @@ REPEATS = 12
 
 
 def timeit(fn, *args, repeats=REPEATS):
+    """Chained timing anchored by ONE device_get: block_until_ready does
+    not reliably sync over the tunneled runtime and a blocking read costs
+    a ~25 ms round-trip, so per-call sync timing overstates every stage
+    by the RTT (this bit r3's committed numbers)."""
     out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
-    out = fn(*args)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0])  # compile + sync
+    CHAIN = 8
     ts = []
-    for _ in range(repeats):
+    for _ in range(max(2, repeats // 3)):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
+        for _ in range(CHAIN):
+            out = fn(*args)
+        jax.device_get(jax.tree.leaves(out)[0])
+        ts.append((time.perf_counter() - t0) / CHAIN)
     return float(np.median(ts) * 1e3)  # ms
 
 
@@ -112,31 +116,32 @@ def main():
         fn = jax.jit(lambda b, k, _f=f: _f.apply(b, k))
         results[f"{name}_ms"] = timeit(lambda: fn(local, key))
 
-    # --- full fused step
+    # --- full fused step, threaded through its own donated state (the
+    # production regime), once with merges forced every step and once with
+    # the merge branch skipped (is_mapping=False)
     mapper._ensure_fused_state()
-    bufs, meta = mapper._fused_state
-    stamp_s = jnp.float32(100.0)
-
-    def fused_once():
-        nb, nm, aux = mapper._fused(
-            {k: v for k, v in bufs.items()}, meta, scan, est_pose, stamp_s,
-            jnp.asarray(True), key)
-        return aux["count"]
-
-    # fused donates bufs; time with fresh copies each call
     fn = mapper._fused._jit
 
-    def run_fused():
-        b = {k: jax.tree.map(lambda x: x + 0, v) for k, v in bufs.items()}
-        jax.block_until_ready(b)
+    def fused_chain(mapping, t0_s, n=12):
+        b, m = mapper._fused_state
+        b = {k: jax.tree.map(lambda x: x + 0, v) for k, v in b.items()}
+        t = t0_s
+        out = fn(b, dict(m), scan, est_pose, jnp.float32(t),
+                 jnp.asarray(mapping), key)
+        jax.device_get(out[2]["count"])
+        b, m = out[0], out[1]
         t0 = time.perf_counter()
-        out = fn(b, meta, scan, est_pose, stamp_s, jnp.asarray(True), key)
-        jax.block_until_ready(out)
-        return time.perf_counter() - t0
+        for i in range(n):
+            t += 100.0  # always beyond the delay gate
+            b, m, aux = fn(b, m, scan, est_pose, jnp.float32(t),
+                           jnp.asarray(mapping), key)
+        jax.device_get(aux["count"])
+        return (time.perf_counter() - t0) / n * 1e3
 
-    run_fused()  # compile
-    ts = [run_fused() for _ in range(REPEATS)]
-    results["fused_step_ms"] = float(np.median(ts) * 1e3)
+    results["fused_step_merge_ms"] = float(np.median(
+        [fused_chain(True, 1e4 * (i + 1)) for i in range(3)]))
+    results["fused_step_solve_only_ms"] = float(np.median(
+        [fused_chain(False, 1e5 * (i + 1)) for i in range(3)]))
 
     if args.json:
         print(json.dumps(results, indent=1))

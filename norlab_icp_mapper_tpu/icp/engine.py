@@ -406,9 +406,13 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
                                     max_radius=max_radius, H=_GH_H, C=_GH_C)
         elif max_radius is not None:
             from ..ops.nn_sweep import sweep_knn
+            # q_tile=1024: tighter per-tile x-spans keep the true candidate
+            # range inside W on the bundled data (2048-tiles overflowed at
+            # up to 11.7k candidates > W, silently degrading those tiles
+            # to nearest-in-window; measured worst span at 1024 = 7.4k)
             d2, idx, overflow = sweep_knn(p, ref_pos, cur_mask, ref_mask,
                                           k=k, max_radius=max_radius,
-                                          q_tile=2048, W=8192,
+                                          q_tile=1024, W=8192,
                                           presorted=sweep_presorted)
             record_overflow("icp_matcher_sweep", overflow)
         else:

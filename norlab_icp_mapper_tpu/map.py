@@ -229,6 +229,14 @@ class Map:
         ``MapperModule.INSERTS``)."""
         return max(1, sum(getattr(m, "INSERTS", 0) for m in self.modules))
 
+    def growth_bounded_by_decimation(self) -> bool:
+        """True when an active OctreeMapperModule reclaims inserted scan
+        points every merge — permanent growth is then only the NEW-voxel
+        count and the fused path sizes its headroom adaptively."""
+        return any(getattr(m, "NAME", "") == "OctreeMapperModule"
+                   and float(m.params.get("maxSizeByNode", 0)) > 0
+                   for m in self.modules)
+
     def _merge_fns(self, post_filters):
         """Jitted create/update merge pipelines.
 

@@ -130,6 +130,20 @@ class Mapper:
         self._fused_pending: "collections.deque" = collections.deque()
         self._pending_headroom_sum = 0
         self._fused_base_count: Optional[int] = None  # last harvested count
+        # per-merge count deltas (harvested) drive the ADAPTIVE merge
+        # headroom when growth is decimation-bounded (octree configs): the
+        # worst-case bound is a whole scan, the measured growth is ~2-5 %
+        # of it once the map saturates
+        self._delta_hist = collections.deque(maxlen=16)
+        self._overflow_remerge = None  # (scan, pose) backstop, see below
+        # latest harvested ICP correction (corrected @ est^-1): applied to
+        # the CURRENT pose prior it drives the rolling window at dispatch
+        # time with zero lag — driving it from harvested poses let window
+        # loads trail the merges by several scans under the lazy harvest,
+        # and revisited cells merged back AFTER scans had already
+        # re-inserted their content (r4 regression, caught by
+        # test_leave_return_leave_no_duplication)
+        self._win_corr = None
         self._pending_window: list = []
         self._epoch_ns: Optional[int] = None
         self._overlap_dev = None
@@ -294,7 +308,6 @@ class Mapper:
             return
         if self._epoch_ns is None:
             self._epoch_ns = int(timestamp_ns)
-
         if (self._use_fused and isinstance(self.icp, ICPEngine)
                 and self.icp.inspector is None  # inspector needs stepwise
                 # lpm's bound checker THROWS on violation; only the stepwise
@@ -349,9 +362,26 @@ class Mapper:
         # apply window events deferred from the previous scan (rare sync)
         if self._pending_window:
             self._drain_fused()
+        if self._overflow_remerge is not None:
+            scan_o, pose_o = self._overflow_remerge
+            self._overflow_remerge = None
+            self._remerge_overflow(scan_o, pose_o)
         hint = int(scan_valid_hint) if scan_valid_hint else scan.capacity
         bufs, meta = self._ensure_fused_state()
-        headroom = self.map.merge_headroom_scans() * hint
+        headroom = max(1, self.map.merge_headroom_scans()) * hint
+        if (self.map.growth_bounded_by_decimation()
+                and len(self._delta_hist) >= 4):
+            # octree configs reclaim (almost) the whole scan every merge:
+            # permanent growth = NEW voxels only.  Size the free-slot
+            # headroom from measured growth (x4 + floor) instead of a
+            # whole scan — the buffer runs ~25-60 % smaller and every
+            # capacity-proportional merge pass gets that back.  A burst
+            # scan that beats the margin fills the buffer; the harvested
+            # count detects it and _remerge_overflow replays that scan
+            # after growing (union decimation is idempotent), so nothing
+            # is silently lost.
+            headroom = min(headroom,
+                           max(4 * max(self._delta_hist) + 4096, 8192))
         if self._fused_base_count is None:
             self._fused_base_count = (
                 self.map._known_count
@@ -363,6 +393,34 @@ class Mapper:
             # un-harvested in-flight scan (each could have merged)
             return self._fused_base_count + self._pending_headroom_sum
 
+        # shrink when the buffer is at least one capacity bucket (12.5 %)
+        # oversize for the adaptive target (one drain + a compaction slice
+        # + retrace — fires once per saturation level)
+        if self._fused_base_count is not None:
+            from .points import bucket_capacity as _bc
+            target = _bc(self._fused_base_count + 2 * headroom)
+            if target * 8 <= bufs["map"].capacity * 7:
+                self._harvest_all()
+                target = _bc(self._fused_base_count + 2 * headroom)
+                if target * 8 <= bufs["map"].capacity * 7 \
+                        and target >= (self.map._known_count or 0):
+                    bufs = self._shrink_bufs(bufs, target)
+                    self._fused_state = (bufs, meta)
+
+        if ub() + headroom > bufs["map"].capacity:
+            # refine the provisional bound with landed merged flags first:
+            # a scan whose merged mirror reads False added NOTHING, so its
+            # headroom can be released with a ~0.3 ms read instead of a
+            # blocking count harvest — with rare merges this keeps the
+            # pressure path (and its pipeline-serializing device_get)
+            # almost always quiet (measured r4: 41.8 -> ~9 ms/scan of
+            # harvest wait at bench shapes)
+            for e in self._fused_pending:
+                if not e["resolved"] and e["merged"].is_ready():
+                    if not bool(jax.device_get(e["merged"])):
+                        self._pending_headroom_sum -= e["headroom"]
+                        e["headroom"] = 0
+                    e["resolved"] = True
         while self._fused_pending and \
                 ub() + headroom > bufs["map"].capacity:
             # growth looks imminent — but the bound is provisional; harvest
@@ -373,14 +431,20 @@ class Mapper:
             self._harvest_entry(self._fused_pending.popleft())
         if ub() + headroom > bufs["map"].capacity:
             from .points import bucket_capacity
-            # size for TWO scans of headroom: one-scan slack made the
-            # pre-dispatch harvest above fire (and block) on EVERY scan — a
-            # synchronous device_get that serialized the pipeline (measured
-            # 70 ms/scan wall vs 39 ms device at bench shapes).  Three
-            # scans of slack was tried and lost more to capacity-
-            # proportional merge passes than the extra pipeline depth
-            # gained (bench r4: 17.8 vs 20.5 scans/s).
-            new_cap = bucket_capacity(ub() + 2 * headroom)
+            # capacity slack is ADAPTIVE to the observed merge rate:
+            #  - merges rare (overlap/distance gates, long-delay configs):
+            #    TWO scans of headroom keep the pipeline free-running —
+            #    one-scan slack made the pre-dispatch harvest fire (and
+            #    block ~25 ms) on EVERY scan (measured 70 ms/scan wall vs
+            #    39 ms device);
+            #  - merges every scan (the bundled config's 0.05 s delay):
+            #    the harvest serializes on the merge program regardless,
+            #    so extra slack buys nothing while every capacity-
+            #    proportional merge pass (voxel sort, radius PCA, dynamic
+            #    points) pays for the padding forever — ONE scan of slack
+            #    keeps the buffers ~25 % smaller.
+            slack = 2
+            new_cap = bucket_capacity(ub() + slack * headroom)
             bufs = {k: v.pad_to(new_cap) for k, v in bufs.items()
                     if k != "ref_sort"}
             if self._fused._use_presort:
@@ -440,12 +504,23 @@ class Mapper:
         # as the program finishes and the later read is ~0.3 ms
         entry = {"pose": new_meta["pose"], "count": aux["count"],
                  "merged": aux["merged"], "stamp_ns": int(timestamp_ns),
-                 "headroom": headroom,
-                 "scan": scan if self._kf_cfg is not None else None}
+                 "headroom": headroom, "resolved": False,
+                 "cap": new_bufs["map"].capacity,
+                 "est": np.asarray(estimated_pose, np.float32),
+                 "scan": scan}
         for mirror in (entry["pose"], entry["count"], entry["merged"]):
             mirror.copy_to_host_async()
         self._fused_pending.append(entry)
         self._pending_headroom_sum += headroom
+
+        # rolling window driven NOW from the correction-adjusted pose
+        # prior (zero lag; deferred events apply at the next scan's start)
+        win_pose = (estimated_pose if self._win_corr is None
+                    else self._win_corr @ estimated_pose)
+        upd = self.map.update_pose(np.asarray(win_pose, np.float32),
+                                   defer=True)
+        if upd:
+            self._pending_window.extend(upd)
 
         # opportunistic harvest: fold in every entry whose copies landed
         # (is_ready() is ~1 us); never block in the loop
@@ -465,24 +540,86 @@ class Mapper:
         read back (ADVICE r1: f32 drift)."""
         pose_prev, count_prev, merged_prev = jax.device_get(
             (entry["pose"], entry["count"], entry["merged"]))
+        prev_base = self._fused_base_count
         self._fused_base_count = int(count_prev)
         self._pending_headroom_sum -= entry["headroom"]
         self.map._known_count = int(count_prev)  # a few scans stale
+        if bool(merged_prev):
+            if prev_base is not None:
+                self._delta_hist.append(
+                    max(0, int(count_prev) - prev_base))
+            if (self.map.growth_bounded_by_decimation()
+                    and entry["cap"] - int(count_prev) < 1024
+                    and entry["scan"] is not None):
+                # the merge filled the buffer — points may have been
+                # dropped; replay the scan after growing.  Backstop for
+                # the ADAPTIVE headroom only (full-headroom configs are
+                # sized so the insert can never overflow); see
+                # _remerge_overflow.
+                self._overflow_remerge = (entry["scan"],
+                                          np.asarray(pose_prev))
         if bool(merged_prev):
             self.map.new_local_available = True
             self.last_time_map_was_updated = entry["stamp_ns"]
             self.last_pose_where_map_was_updated = np.asarray(pose_prev)
             if self._kf_cfg is not None and entry["scan"] is not None:
                 self._maybe_keyframe(entry["scan"], np.asarray(pose_prev))
-        upd = self.map.update_pose(np.asarray(pose_prev), defer=True)
-        if upd:
-            self._pending_window.extend(upd)
+        self._win_corr = (
+            np.asarray(pose_prev, np.float64)
+            @ np.linalg.inv(np.asarray(entry["est"], np.float64))
+        ).astype(np.float32)
 
     def _harvest_all(self) -> None:
         """Blocking flush of every pending mirror entry (capacity pressure
         or drain)."""
         while self._fused_pending:
             self._harvest_entry(self._fused_pending.popleft())
+
+    def _shrink_bufs(self, bufs, target: int):
+        """Compact every map-sized buffer and slice it to ``target``
+        capacity (valid points first, order preserved); rebuilds the
+        cached reference presort.  Rare — fires once the adaptive
+        headroom reveals the buffer is oversize."""
+        def cut(b):
+            b = b.compact()
+            return PointBatch(b.positions[:target], b.mask[:target],
+                              {k: v[:target]
+                               for k, v in b.descriptors.items()})
+        out = {k: cut(v) for k, v in bufs.items() if k != "ref_sort"}
+        if "ref_sort" in bufs:
+            from .ops.nn_sweep import presort_ref
+            sref = out.get("ref", out["map"])
+            out["ref_sort"] = presort_ref(sref.positions, sref.mask)
+        self.map.local = out["map"]
+        self.icp._ref = out.get("ref", out["map"])
+        return out
+
+    def _remerge_overflow(self, scan: PointBatch, pose_np) -> None:
+        """Backstop for a merge that FILLED the map buffer: with
+        decimation-bounded (adaptive) headroom a burst scan — all-new
+        territory — can exceed the margin and the union writeback drops
+        whatever did not fit.  The union decimation is idempotent for
+        already-inserted points (samplingMethod=0 keeps the map-first
+        representative), so re-merging the SAME scan through the stepwise
+        path after growing inserts exactly the dropped points.
+        DynamicPoints is excluded: its Bayesian update already ran in the
+        fused program and must not double-count.  Rare; costs one
+        pipeline drain + a retrace at the grown capacity."""
+        self._drain_fused()
+        mods = self.map.modules
+        self.map.modules = [m for m in mods
+                            if getattr(m, "NAME", "")
+                            != "DynamicPointsMapperModule"]
+        self.map._merge_cache_key = None  # closures capture the module list
+        try:
+            pose_np = np.asarray(pose_np, np.float32)
+            scan_m = self._apply_tf(jnp.asarray(pose_np), scan)
+            self.map.update_local_point_cloud(scan_m, pose_np,
+                                              self.post_filters,
+                                              self._next_key())
+        finally:
+            self.map.modules = mods
+            self.map._merge_cache_key = None
 
     def _ensure_fused_state(self):
         if self._fused is None:

@@ -116,10 +116,43 @@ class OctreeMapperModule(MapperModule):
         # reference inPlaceCreateMap: update with an empty map == decimate scan
         return self._decimate(scan)
 
-    INSERTS = 1
+    # TRANSIENT insert (r4): the union decimation below needs NO permanent
+    # free-slot headroom in the map buffer — the concatenation lives as a
+    # per-merge VALUE, survivors write back in place.  The map buffer only
+    # needs room for genuinely NEW voxels (the mapper sizes that
+    # adaptively from measured growth).
+    INSERTS = 0
 
-    def update_map(self, scan, map_batch, pose):
-        return self._decimate(insert(map_batch, scan))
+    def update_map(self, scan, map_batch, pose, key=None):
+        vox = self.params["maxSizeByNode"]
+        if vox <= 0.0:
+            return insert(map_batch, scan)
+        # Decimate the TRANSIENT union [map; scan] instead of physically
+        # inserting the scan first: insert-then-decimate forced the map
+        # buffer to carry a whole scan of permanent headroom (a 25-60 %
+        # capacity tax on every capacity-proportional merge pass — voxel
+        # sort, radius PCA, dynamic points) even though decimation gives
+        # almost all of it back each merge.  Union rows keep map-first
+        # order, so samplingMethod=0 ("first") picks the same survivors as
+        # the reference's concatenate-then-filter
+        # (``OctreeMapperModule.cpp:35-39``); map-row survivors stay in
+        # place, scan-row survivors (new voxels) scatter into free slots.
+        method = int(self.params["samplingMethod"])
+        cat_pos = jnp.concatenate([map_batch.positions, scan.positions])
+        cat_mask = jnp.concatenate([map_batch.mask, scan.mask])
+        keep, centroid = voxel_select(
+            cat_pos, cat_mask, vox, method=method, key=key,
+            max_point_by_node=int(self.params["maxPointByNode"]))
+        cap = map_batch.capacity
+        out = map_batch.with_mask(map_batch.mask & keep[:cap])
+        new_scan = scan.with_mask(scan.mask & keep[cap:])
+        if method == 2:
+            out = out.replace(positions=jnp.where(
+                (out.mask)[:, None], centroid[:cap], out.positions))
+            new_scan = new_scan.replace(positions=jnp.where(
+                (new_scan.mask)[:, None], centroid[cap:],
+                new_scan.positions))
+        return insert(out, new_scan)
 
 
 @mapper_module_registry.register

@@ -242,6 +242,8 @@ class ShardedMapConfig:
                  update_condition: str = "delay",
                  update_value: float = 0.05,
                  cut_threshold: Optional[float] = None,
+                 outlier_filters=None,
+                 step_filter=None,
                  halo_capacity: int = 4096,
                  ref_tile: int = 1024,
                  sampling_method: int = 1,
@@ -281,6 +283,24 @@ class ShardedMapConfig:
                                if dynamic_points is not None else None)
         self.trimmed_ratio = (float(trimmed_ratio)
                               if trimmed_ratio is not None else None)
+        # full lpm outlier-filter chain (r4): ordered (kind, param) pairs —
+        # "trimmed" / "maxdist" / "median" / "normal" (engine.py names);
+        # trimmed_ratio kept as the legacy single-filter spelling
+        if outlier_filters is not None:
+            self.outlier_filters = tuple(
+                (str(k), float(p)) for k, p in outlier_filters)
+            for k, _ in self.outlier_filters:
+                if k == "trimmed" and self.trimmed_ratio is None:
+                    self.trimmed_ratio = dict(self.outlier_filters)["trimmed"]
+        elif self.trimmed_ratio is not None:
+            self.outlier_filters = (("trimmed", self.trimmed_ratio),)
+        else:
+            self.outlier_filters = ()
+        # lpm readingStepDataPointsFilters: a pure mask-only callable
+        # ``(PointBatch, key) -> PointBatch`` re-applied to the moved
+        # reading at every solve iteration (r4; position edits rejected
+        # at construction)
+        self.step_filter = step_filter
         self.diff_checker = (tuple(diff_checker)
                              if diff_checker is not None else None)
         self.n_buckets = int(n_buckets)
@@ -459,7 +479,7 @@ class ShardedMapperStep:
                                        is_mapping, key, of_prev)
 
     def register(self, state, scan_pos, read_mask, est_pose, stamp_s,
-                 last_t, last_pose, is_mapping):
+                 last_t, last_pose, is_mapping, key):
         """Online split: solve-only program — the pose mirror is ready as
         soon as it finishes; the map state is read, not donated."""
         shapes = ("register", state["pos"].shape, scan_pos.shape)
@@ -467,7 +487,7 @@ class ShardedMapperStep:
             self._jit_cache[shapes] = self._build_register()
         return self._jit_cache[shapes](state, scan_pos, read_mask,
                                        est_pose, stamp_s, last_t,
-                                       last_pose, is_mapping)
+                                       last_pose, is_mapping, key)
 
     def merge(self, state, table, scan_pos, scan_mask, scan_prob,
               correction, est_pose, do_merge, key, of_prev):
@@ -606,7 +626,18 @@ class ShardedMapperStep:
                            - 1, 0, d2_flat.shape[0] - 1)
             return srt[cut]
 
-        def icp_solve(read_pos, read_mask, map_pos, map_nrm, map_msk):
+        def step_mask(p, read_mask, key, it):
+            # lpm readingStepDataPointsFilters: a fresh mask of the MOVED
+            # reading every iteration; key folded by iteration index, so
+            # every shard derives the identical (replicated) mask
+            if cfg.step_filter is None:
+                return read_mask
+            from ..points import PointBatch as _PB
+            it_key = jax.random.fold_in(key, it)
+            return read_mask & cfg.step_filter(
+                _PB(p, read_mask, {}), it_key).mask
+
+        def icp_solve(read_pos, read_mask, map_pos, map_nrm, map_msk, key):
             """Distributed solve: point-to-plane GN (psum'd JtJ/Jtr),
             point-to-point weighted Kabsch (psum'd cross moments), or
             Identity (overlap only) — reference minimizer set,
@@ -615,8 +646,9 @@ class ShardedMapperStep:
 
             if cfg.minimizer == "IdentityErrorMinimizer":
                 # one matcher pass for the overlap, correction = identity
+                cur = step_mask(read_pos, read_mask, key, 0)
                 d2, _ = local_nn(read_pos, map_pos, map_msk)
-                d2 = jnp.where(read_mask, d2, jnp.inf)
+                d2 = jnp.where(cur, d2, jnp.inf)
                 gmin = jax.lax.pmin(d2, axis)
                 overlap = jnp.sum((gmin <= max_d2).astype(jnp.float32)) \
                     / n_read
@@ -627,15 +659,39 @@ class ShardedMapperStep:
             def body(carry):
                 T, it, _, hist, done = carry
                 p = se3.apply_points(T, read_pos)
+                cur = step_mask(p, read_mask, key, it)
                 d2, idx = local_nn(p, map_pos, map_msk)
-                d2 = jnp.where(read_mask, d2, jnp.inf)
+                d2 = jnp.where(cur, d2, jnp.inf)
                 gmin = jax.lax.pmin(d2, axis)
-                matched = read_mask & jnp.isfinite(gmin) & (gmin <= max_d2)
+                matched = cur & jnp.isfinite(gmin) & (gmin <= max_d2)
                 overlap = jnp.sum(matched.astype(jnp.float32)) / n_read
+                # lpm outlier-filter chain, in config order (engine.py
+                # semantics on the 1-NN pairs).  Every distance-based gate
+                # runs on the pmin-replicated global distances, so all
+                # shards derive identical cuts with no extra collective.
                 good = matched
-                if cfg.trimmed_ratio is not None:
-                    good = good & (gmin <= trimmed_threshold(gmin, matched))
+                for kind, param in cfg.outlier_filters:
+                    if kind == "trimmed":
+                        good = good & (gmin <= trimmed_threshold(gmin, good))
+                    elif kind == "maxdist":
+                        good = good & (gmin <= param * param)
+                    elif kind == "median":
+                        med = jnp.nanmedian(
+                            jnp.where(good, gmin, jnp.nan))
+                        good = good & (gmin <= param * param * med)
                 mine = (d2 <= gmin) & good
+                for kind, param in cfg.outlier_filters:
+                    if kind == "normal":
+                        # reading-ray vs matched-normal angle gate: the
+                        # matched normal lives on the WINNING shard, so
+                        # this gates `mine` (the shard's own contribution)
+                        qn_loc = map_nrm[jnp.maximum(idx, 0)]
+                        pdir = p / jnp.maximum(
+                            jnp.linalg.norm(p, axis=1, keepdims=True),
+                            1e-9)
+                        cosang = jnp.abs(jnp.sum(pdir * qn_loc, axis=1))
+                        mine = mine & (jnp.arccos(
+                            jnp.clip(cosang, 0.0, 1.0)) <= param)
                 claims = jax.lax.psum(mine.astype(jnp.float32), axis)
                 w = jnp.where(mine, 1.0 / jnp.maximum(claims, 1.0), 0.0)
                 q = map_pos[jnp.maximum(idx, 0)]
@@ -860,7 +916,8 @@ class ShardedMapperStep:
             # subset of scan_mask (lpm readingDataPointsFilters applied
             # host-side per scan — mask-only filters like RandomSampling)
             scan_m = se3.apply_points(est_pose, scan_pos)
-            correction, overlap = icp_solve(scan_m, read_mask, pos, nrm, msk)
+            correction, overlap = icp_solve(scan_m, read_mask, pos, nrm,
+                                            msk, key)
             corrected = correction @ est_pose
             scan_c = se3.apply_points(correction, scan_m)
 
@@ -928,12 +985,12 @@ class ShardedMapperStep:
         icp_solve, update_cond, _ = self._shared_kernels()
 
         def shard_fn(state, scan_pos, read_mask, est_pose, stamp_s, last_t,
-                     last_pose, is_mapping):
+                     last_pose, is_mapping, key):
             pos, nrm, msk = (state["pos"][0], state["nrm"][0],
                              state["msk"][0])
             scan_m = se3.apply_points(est_pose, scan_pos)
             correction, overlap = icp_solve(scan_m, read_mask, pos, nrm,
-                                            msk)
+                                            msk, key)
             corrected = correction @ est_pose
             do_merge = update_cond(corrected, overlap, stamp_s, last_t,
                                    last_pose) & is_mapping
@@ -948,7 +1005,8 @@ class ShardedMapperStep:
 
         fn = shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(self._spec_state, P(), P(), P(), P(), P(), P(), P()),
+            in_specs=(self._spec_state, P(), P(), P(), P(), P(), P(), P(),
+                      P()),
             out_specs={"pose": P(), "correction": P(), "overlap": P(),
                        "merged": P(), "last_t": P(), "last_pose": P()},
             check_vma=False)
@@ -1295,9 +1353,19 @@ class ShardedMapper:
             raise NotImplementedError(
                 "sharded backend: BoundTransformationChecker (host-side "
                 "throw) is single-chip only")
-        if len(getattr(icp, "reading_step_filters", [])):
-            raise NotImplementedError(
-                "sharded backend: readingStepDataPointsFilters unsupported")
+        step_chain = getattr(icp, "reading_step_filters", None)
+        step_fn = None
+        if step_chain is not None and len(step_chain):
+            for f in step_chain.filters:
+                fname = getattr(f, "NAME", type(f).__name__)
+                if fname in ("OctreeGridDataPointsFilter",
+                             "VoxelGridDataPointsFilter") and int(
+                        f.params.get("samplingMethod", 0)) == 2:
+                    raise NotImplementedError(
+                        "sharded backend: readingStepDataPointsFilters "
+                        f"apply as a per-iteration mask; '{fname}' with "
+                        "samplingMethod=2 replaces positions")
+            step_fn = step_chain._apply_impl
         for f in icp.reading_filters.filters:
             fname = getattr(f, "NAME", type(f).__name__)
             if fname in ("OctreeGridDataPointsFilter",
@@ -1314,21 +1382,17 @@ class ShardedMapper:
             raise NotImplementedError(
                 f"sharded backend: errorMinimizer '{icp.minimizer}' "
                 "unsupported (PointToPlane / PointToPoint / Identity)")
-        trimmed = None
-        for kind, param in getattr(icp, "outlier_filters", []):
-            if kind == "trimmed":
-                trimmed = float(param)
-            else:
-                raise NotImplementedError(
-                    f"sharded backend: outlier filter '{kind}' unsupported "
-                    "(trimmed only)")
+        # full outlier-filter chain supported since r4 (trimmed / maxdist
+        # / median / normal — engine.load_config already validated names)
+        outliers = tuple(getattr(icp, "outlier_filters", ()))
 
         kw: Dict[str, Any] = dict(
             dim=mapper.dim,
             minimizer=icp.minimizer,
             max_iter=icp.max_iter,
             match_max_dist=float(icp.match_max_dist),
-            trimmed_ratio=trimmed,
+            outlier_filters=outliers,
+            step_filter=step_fn,
             diff_checker=icp.diff_checker,
             sensor_max_range=mapper.map.get_sensor_max_range(),
             window_enabled=True,
@@ -1723,7 +1787,7 @@ class ShardedMapper:
             reg = self.step.register(
                 self.state, scan.positions, read_mask, est_j, stamp_rel,
                 self._last_t, self._last_pose,
-                jnp.asarray(bool(is_mapping)))
+                jnp.asarray(bool(is_mapping)), key)
             self.state, mg = self.step.merge(
                 self.state, self.table, scan.positions, scan.mask, prob,
                 reg["correction"], est_j, reg["merged"], key,
