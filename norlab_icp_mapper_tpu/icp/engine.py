@@ -41,6 +41,25 @@ from ..utils.tracing import record_overflow
 _GH_H = 1 << 15
 _GH_C = 128
 
+
+def _sweep_precision():
+    """Cross-term RANKING precision of the sweep matcher.
+
+    Default: exact f32 (6-pass HIGHEST).  The bf16 tiers were MEASURED on
+    the real steady-state map and refuted (committed artifact
+    ``SWEEP_PRECISION.json``, r5): even centered, 3-pass bf16x3 picks a
+    different neighbor for 26% of queries with median |d2| delta
+    5.5e-3 m^2 — a genuinely different correspondence on a 0.15 m-
+    decimated map, not a near-tie — while buying only 1.18x (the fused
+    sweep is not cross-term-bound at production shapes).  1-pass bf16 is
+    worse on every axis (68% disagreement, 856 match-flips, 1.43x).
+    Set ``NIM_TPU_SWEEP_PRECISION=bf16x3|bf16`` to trade exactness for
+    that measured speedup anyway.
+    """
+    import os
+    v = os.environ.get("NIM_TPU_SWEEP_PRECISION", "highest").lower()
+    return None if v in ("highest", "exact", "f32") else v
+
 __all__ = ["ICPEngine", "ICPResult"]
 
 
@@ -380,14 +399,19 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
     # solve only on non-TPU backends where it is cheap relative to search.
     gh_table = None
     sweep_presorted = None
+    sweep_q = None
     if max_radius is not None and not _nn_use_pallas():
         gh_table, gh_overflow = build_grid(ref_pos, ref_mask, max_radius,
                                            H=_GH_H, C=_GH_C)
         record_overflow("icp_matcher_grid", gh_overflow)
     elif max_radius is not None:
-        from ..ops.nn_sweep import presort_ref
+        from ..ops.nn_sweep import presort_ref, presort_queries
         sweep_presorted = (ref_presorted if ref_presorted is not None
                            else presort_ref(ref_pos, ref_mask))
+        # the reading's x ordering is computed ONCE per solve and reused
+        # across GN iterations (rigid motion keeps it near-sorted; window
+        # spans are re-measured from the moved coordinates every iteration)
+        sweep_q = presort_queries(read_pos, read_mask)
 
     def match_and_weigh(T, it_key):
         p = se3.apply_points(T, read_pos)  # [N, D]
@@ -413,7 +437,9 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
             d2, idx, overflow = sweep_knn(p, ref_pos, cur_mask, ref_mask,
                                           k=k, max_radius=max_radius,
                                           q_tile=1024, W=8192,
-                                          presorted=sweep_presorted)
+                                          presorted=sweep_presorted,
+                                          presorted_q=sweep_q,
+                                          precision=_sweep_precision())
             record_overflow("icp_matcher_sweep", overflow)
         else:
             d2, idx = knn(p, ref_pos, cur_mask, ref_mask, k=k,

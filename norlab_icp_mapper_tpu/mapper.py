@@ -732,16 +732,17 @@ class Mapper:
         self._keyframes = []
 
     def _maybe_keyframe(self, scan: PointBatch, pose: np.ndarray):
-        cfg = self._kf_cfg
-        if len(self._keyframes) >= cfg["max_keyframes"]:
-            return
-        d = self.dim
-        if self._keyframes:
-            last = self._keyframes[-1][2]
-            if np.linalg.norm(pose[:d, d] - last[:d, d]) \
-                    < cfg["min_distance"]:
-                return
-        self._keyframes.append((scan.positions, scan.mask, pose))
+        from .slam.pose_graph import keyframe_insert
+        keyframe_insert(self._keyframes, self._kf_cfg, scan.positions,
+                        scan.mask, pose, self.dim)
+
+    @property
+    def keyframe_thinning_events(self) -> int:
+        """How many times the keyframe store hit ``max_keyframes`` and was
+        distance-thinned (0 = the cap was never reached)."""
+        if self._sharded is not None and self._sharded._kf_cfg is not None:
+            return self._sharded._kf_cfg.get("thinning_events", 0)
+        return (self._kf_cfg or {}).get("thinning_events", 0)
 
     def get_keyframes(self):
         """Returns ``(positions [K, cap, D], masks [K, cap], poses [K])``
