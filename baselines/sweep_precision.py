@@ -108,12 +108,13 @@ def main():
               "tiers": {}}
     exact = {}
     for k in (1, 3):
-        for tier in ("highest", "bf16x3", "bf16"):
-            prec = None if tier == "highest" else tier
+        for tier in ("highest", "packed", "bf16x3", "bf16"):
+            prec = None if tier in ("highest", "packed") else tier
             f = functools.partial(sweep_knn, q, r, qm, rm, k=k,
                                   max_radius=2.0, q_tile=1024, W=8192,
                                   use_pallas=True, presorted=pre,
-                                  presorted_q=pq, precision=prec)
+                                  presorted_q=pq, precision=prec,
+                                  packed=(tier == "packed"))
             dt = timed(f)
             d, i, ov = jax.device_get(f())
             d, i = np.asarray(d), np.asarray(i)

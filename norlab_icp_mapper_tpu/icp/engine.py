@@ -114,6 +114,7 @@ class ICPEngine:
     def __init__(self, config: Optional[Dict[str, Any]] = None, dim: int = 3):
         self.dim = dim
         self._ref: Optional[PointBatch] = None
+        self._ref_presorted = None
         self._solve_cache: Dict[Any, Any] = {}
         self.load_config(config if config is not None else dict(_DEFAULTS))
 
@@ -213,19 +214,26 @@ class ICPEngine:
     def set_map(self, ref: PointBatch):
         """lpm ``ICPSequence::setMap``: store (and reference-filter) the map.
 
-        The reference rebuilds its kd-tree here (``Map.cpp:527-529``); we
-        just keep the filtered padded arrays — correspondence is tiled brute
-        force so there is nothing to build.
+        The reference rebuilds its kd-tree here (``Map.cpp:527-529``); the
+        sweep matcher's analog is the sorted/planar presort pack, built
+        once per map change and reused by every subsequent solve (the
+        fused per-scan program caches the same pack in its donated
+        state, ``fused.py``).
         """
         if len(self.reference_filters):
             ref = self.reference_filters.apply(ref)
         self._ref = ref
+        self._ref_presorted = None
+        if np.isfinite(self.match_max_dist) and _nn_use_pallas():
+            from ..ops.nn_sweep import presort_ref
+            self._ref_presorted = presort_ref(ref.positions, ref.mask)
 
     def has_map(self) -> bool:
         return self._ref is not None
 
     def clear_map(self):
         self._ref = None
+        self._ref_presorted = None
 
     # -------------------------------------------------------------- solve
     def __call__(self, reading: PointBatch,
@@ -256,7 +264,7 @@ class ICPEngine:
         solve = self._get_solve(reading.capacity, ref.capacity)
         correction, overlap, iters, resid = solve(
             reading.positions, reading.mask, ref.positions, ref_normals,
-            ref.mask, key)
+            ref.mask, key, self._ref_presorted)
         if self.bound_checker is not None:
             # lpm's BoundTransformationChecker THROWS when the accumulated
             # transform exceeds the bound (registration aborts, the caller
@@ -405,13 +413,21 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
                                            H=_GH_H, C=_GH_C)
         record_overflow("icp_matcher_grid", gh_overflow)
     elif max_radius is not None:
-        from ..ops.nn_sweep import presort_ref, presort_queries
+        from ..ops.nn_sweep import presort_ref
         sweep_presorted = (ref_presorted if ref_presorted is not None
                            else presort_ref(ref_pos, ref_mask))
-        # the reading's x ordering is computed ONCE per solve and reused
-        # across GN iterations (rigid motion keeps it near-sorted; window
-        # spans are re-measured from the moved coordinates every iteration)
-        sweep_q = presort_queries(read_pos, read_mask)
+        # sort the reading by x ONCE and run the WHOLE solve in sweep
+        # order: rigid motion keeps the order near-sorted across GN
+        # iterations (window spans are re-measured from the moved
+        # coordinates every call), and every downstream consumer —
+        # overlap, trimmed sort, JtJ/Jtr reductions — is permutation
+        # invariant.  This removes two [N,*] gathers from every
+        # iteration (measured ~2-7 ms of XLA gather time at bench
+        # shapes, r5 breakdown).
+        q_x = jnp.where(read_mask, read_pos[:, 0], 1e9)
+        q_order = jnp.argsort(q_x)
+        read_pos = read_pos[q_order]
+        read_mask = read_mask[q_order]
 
     def match_and_weigh(T, it_key):
         p = se3.apply_points(T, read_pos)  # [N, D]
@@ -438,7 +454,7 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
                                           k=k, max_radius=max_radius,
                                           q_tile=1024, W=8192,
                                           presorted=sweep_presorted,
-                                          presorted_q=sweep_q,
+                                          assume_sorted=True,
                                           precision=_sweep_precision())
             record_overflow("icp_matcher_sweep", overflow)
         else:

@@ -103,18 +103,35 @@ def presort_queries(pos: jax.Array, mask: jax.Array):
 # the fused single-launch kernel
 # --------------------------------------------------------------------------
 
-def _fused_kernel(start_ref, live_ref, q_ref, r_ref, d_out, i_out, *,
-                  k, tq, tr, dim, precision):
+_QBITS = 17  # quantized-distance bits of a packed key
+_RBITS = 14  # window-row bits (w_blocks * tr <= 16384)
+_QMAX = (1 << _QBITS) - 1
+_KEY_SENTINEL = np.int32((1 << 31) - 1)
+
+
+def _fused_kernel(start_ref, live_ref, params_ref, q_ref, r_ref, d_out,
+                  i_out, *, k, tq, tr, dim, precision, packed):
     """Grid (query tiles, window blocks).  Ranks pairs in SHIFTED distance
     space ``s = |r|^2 - 2 q.r`` (see ``nn_pallas._kernel`` — the wrapper
-    adds ``|q|^2`` back on the tiny [N, k] output)."""
+    adds ``|q|^2`` back on the tiny [N, k] output).
+
+    ``packed`` mode (the k>1 epilogue): the per-pair TRUE distance is
+    quantized to 17 bits at radius scale (step = r^2 / 2^17 ~ 3e-5 m^2
+    for a 2 m matcher) and packed with the 14-bit window row into one
+    i32 key, so the running top-k is k rounds of plain integer mins — no
+    argmin, no separate index plane.  The wrapper decodes rows and
+    re-ranks the survivors in exact f32, so quantization only matters
+    when the k-th and (k+1)-th candidates tie within one step."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        d_out[:, :] = jnp.full((k, tq), _HUGE, jnp.float32)
-        i_out[:, :] = jnp.full((k, tq), -1, jnp.int32)
+        if packed:
+            i_out[:, :] = jnp.full((k, tq), _KEY_SENTINEL, jnp.int32)
+        else:
+            d_out[:, :] = jnp.full((k, tq), _HUGE, jnp.float32)
+            i_out[:, :] = jnp.full((k, tq), -1, jnp.int32)
 
     @pl.when(live_ref[i] != 0)
     def _compute():
@@ -149,6 +166,24 @@ def _fused_kernel(start_ref, live_ref, q_ref, r_ref, d_out, i_out, *,
         s = r2[:, None] - 2.0 * cross  # [TR, TQ]
         base = (start_ref[i] + j) * tr
 
+        if packed:
+            q2 = jnp.sum(q * q, axis=0)  # [TQ]
+            d2 = jnp.maximum(s + q2[None, :], 0.0)
+            inv_step = jnp.float32(_QMAX) / params_ref[0]  # params[0]=r^2
+            qd = jnp.minimum(d2 * inv_step,
+                             jnp.float32(_QMAX)).astype(jnp.int32)
+            row = jax.lax.broadcasted_iota(jnp.int32, (tr, tq), 0) + j * tr
+            key = (qd << _RBITS) | row  # [TR, TQ]
+            cat = jnp.concatenate([key, i_out[:, :]], axis=0)
+            out_rows = []
+            for t in range(k):
+                m = jnp.min(cat, axis=0)  # [TQ]
+                out_rows.append(m[None, :])
+                if t + 1 < k:
+                    cat = jnp.where(cat == m[None, :], _KEY_SENTINEL, cat)
+            i_out[:, :] = jnp.concatenate(out_rows, axis=0)
+            return
+
         if k == 1:
             m = jnp.min(s, axis=0)  # [TQ]
             a = jnp.argmin(s, axis=0).astype(jnp.int32) + base
@@ -180,28 +215,30 @@ def _fused_kernel(start_ref, live_ref, q_ref, r_ref, d_out, i_out, *,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tr", "w_blocks",
-                                             "dim", "precision"))
-def _sweep_fused(start_blk, live, qp, rp, *, k, tq, tr, w_blocks, dim,
-                 precision=None):
+                                             "dim", "precision", "packed"))
+def _sweep_fused(start_blk, live, params, qp, rp, *, k, tq, tr, w_blocks,
+                 dim, precision=None, packed=False):
     n_pad = qp.shape[1]
     m_pad = rp.shape[1]
     n_tiles = n_pad // tq
     grid = (n_tiles, w_blocks)
+    if packed:
+        assert w_blocks * tr <= (1 << _RBITS), (w_blocks, tr)
     kern = functools.partial(_fused_kernel, k=k, tq=tq, tr=tr, dim=dim,
-                             precision=precision)
+                             precision=precision, packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, tq), lambda i, j, start, lv: (0, i),
+            pl.BlockSpec((8, tq), lambda i, j, s_, lv, pr: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tr), lambda i, j, start, lv: (0, start[i] + j),
+            pl.BlockSpec((8, tr), lambda i, j, s_, lv, pr: (0, s_[i] + j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((k, tq), lambda i, j, start, lv: (0, i),
+            pl.BlockSpec((k, tq), lambda i, j, s_, lv, pr: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tq), lambda i, j, start, lv: (0, i),
+            pl.BlockSpec((k, tq), lambda i, j, s_, lv, pr: (0, i),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -220,13 +257,14 @@ def _sweep_fused(start_blk, live, qp, rp, *, k, tq, tr, w_blocks, dim,
             + 2 * k * n_pad * 4,
             transcendentals=0,
         ),
-    )(start_blk, live, qp, rp)
+    )(start_blk, live, params, qp, rp)
     return d, i
 
 
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "W",
                                              "use_pallas", "precision",
-                                             "r_tile"))
+                                             "r_tile", "packed",
+                                             "assume_sorted"))
 def sweep_knn(
     query: jax.Array,  # f32[N, D]
     ref: jax.Array,  # f32[M, D]
@@ -240,6 +278,18 @@ def sweep_knn(
     presorted=None,
     presorted_q=None,  # optional ``presort_queries`` output for ``query``
     r_tile: int = _TR,  # ref window block (grid minor axis); 512 or 1024
+    packed=None,  # packed-key epilogue; None = auto (on for k > 1).
+                  # Ranking and reported distances quantized to r^2/2^17
+                  # (~3e-5 m^2 at r=2); validated against the exact kernel
+                  # on real map data (SWEEP_PRECISION.json).
+    assume_sorted: bool = False,
+                  # True: `query` is ALREADY in ascending-x (sweep) order
+                  # with invalid rows at positions the mask marks — skips
+                  # the per-call query gather AND returns results in the
+                  # same sorted order (no un-sort).  The ICP engine sorts
+                  # its reading once per solve and keeps the whole GN loop
+                  # in sweep order (every consumer is an order-invariant
+                  # reduction), saving two [N,*] gathers per iteration.
     precision=None,  # cross-term RANKING precision: None = exact f32
                      # (6 MXU passes); "bf16x3" = 3-pass f32 emulation;
                      # "bf16" = 1 pass.  Reported distances are exact f32
@@ -275,17 +325,24 @@ def sweep_knn(
     # center + sort queries by x; invalid queries to the end
     query = query - center
     q_x = jnp.where(query_mask, query[:, 0], BIG)
-    if presorted_q is not None:
-        q_order, inv = presorted_q
-    else:
-        q_order = jnp.argsort(q_x)
-        inv = jnp.zeros((n,), jnp.int32).at[q_order].set(
-            jnp.arange(n, dtype=jnp.int32))
     n_pad = -(-n // q_tile) * q_tile
     pad = n_pad - n
-    q_s = jnp.pad(query[q_order], ((0, pad), (0, 0)), constant_values=BIG)
-    qm_s = jnp.pad(query_mask[q_order], (0, pad))
-    qx_s = jnp.pad(q_x[q_order], (0, pad), constant_values=BIG)
+    if assume_sorted:
+        q_order = inv = None
+        q_s = jnp.pad(query, ((0, pad), (0, 0)), constant_values=BIG)
+        qm_s = jnp.pad(query_mask, (0, pad))
+        qx_s = jnp.pad(q_x, (0, pad), constant_values=BIG)
+    else:
+        if presorted_q is not None:
+            q_order, inv = presorted_q
+        else:
+            q_order = jnp.argsort(q_x)
+            inv = jnp.zeros((n,), jnp.int32).at[q_order].set(
+                jnp.arange(n, dtype=jnp.int32))
+        q_s = jnp.pad(query[q_order], ((0, pad), (0, 0)),
+                      constant_values=BIG)
+        qm_s = jnp.pad(query_mask[q_order], (0, pad))
+        qx_s = jnp.pad(q_x[q_order], (0, pad), constant_values=BIG)
 
     n_tiles = n_pad // q_tile
     qx_tiles = qx_s.reshape(n_tiles, q_tile)
@@ -317,28 +374,58 @@ def sweep_knn(
             m_pad = w_blocks * tr
         start_blk = jnp.clip(lo // tr, 0, m_pad // tr - w_blocks)
         qp = planarize(q_s, qm_s, n_pad)
-        d_t, i_t = _sweep_fused(start_blk, live.astype(jnp.int32), qp,
-                                ref_planar, k=k, tq=q_tile, tr=tr,
+        if packed is None:
+            # packed keys win when the per-pair top-k merge dominates
+            # (k > 1); k=1's two-op merge is already cheap
+            packed = k > 1
+        params = (r * r).reshape(1).astype(jnp.float32)
+        d_t, i_t = _sweep_fused(start_blk, live.astype(jnp.int32), params,
+                                qp, ref_planar, k=k, tq=q_tile, tr=tr,
                                 w_blocks=w_blocks, dim=dim,
-                                precision=precision)
-        # exact f32 re-rank of the [N, k] survivors: recompute each
-        # candidate's squared distance from the centered coordinates
-        # (O(N*k), off the per-pair path).  This removes the shifted-
-        # distance cancellation for ALL modes and restores exact distances
-        # and exact ordering among the k survivors under the bf16 tiers.
-        s = d_t[:, :n].T  # [N, k] shifted (ranking-precision) distances
-        i_sorted = i_t[:, :n].T
-        valid = (s < 1.0e15) & (i_sorted >= 0)
-        cand = ref_s[jnp.clip(i_sorted, 0, m - 1)]  # [N, k, D] centered
-        diff = q_s[:n, None, :] - cand
-        d_exact = jnp.sum(diff * diff, axis=-1)  # [N, k] exact f32
-        valid = valid & (d_exact <= r * r) & qm_s[:n, None]
-        d_sorted = jnp.where(valid, d_exact, jnp.inf)
+                                precision=precision, packed=packed)
+        if packed:
+            # decode (quantized d2 | window row) keys -> sorted-ref ids and
+            # dequantized distances — ZERO gathers (the r5 breakdown
+            # measured XLA's [N,k,D] candidate row-gathers at ~7 ms for
+            # k=3, dwarfing the kernel itself).  Invalid refs and planar
+            # padding carry BIG coordinates, so their quantized distance
+            # is guaranteed clamped to QMAX — the strict qd < QMAX check
+            # excludes them without a mask gather.
+            keys = i_t[:, :n].T  # [N, k], ascending per query
+            row = keys & ((1 << _RBITS) - 1)
+            qd = keys >> _RBITS
+            tile_of = (jnp.arange(n, dtype=jnp.int32)
+                       // q_tile)  # position in the SORTED query order
+            i_sorted = start_blk[tile_of][:, None] * tr + row
+            step = (r * r) / jnp.float32(_QMAX)
+            d_sorted = qd.astype(jnp.float32) * step
+            valid = (keys != _KEY_SENTINEL) & (qd < _QMAX) & qm_s[:n, None]
+        else:
+            # exact-f32 mode: the kernel ranked pairs exactly; add |q|^2
+            # back on the tiny [N, k] output (r4 epilogue — no gathers)
+            s = d_t[:, :n].T  # [N, k] shifted distances
+            i_sorted = i_t[:, :n].T
+            q2 = jnp.sum(q_s[:n] * q_s[:n], axis=1)
+            valid = (s < 1.0e15) & (i_sorted >= 0)
+            d_sorted = jnp.maximum(s + q2[:, None], 0.0)
+            valid = valid & (d_sorted <= r * r) & qm_s[:n, None]
+        if precision is not None:
+            # bf16 ranking tiers (opt-in): re-rank the survivors in exact
+            # f32 — the candidate gather is what these tiers pay for their
+            # cheaper cross-term (see SWEEP_PRECISION.json)
+            cand = ref_s[jnp.clip(i_sorted, 0, m - 1)]  # [N, k, D]
+            diff = q_s[:n, None, :] - cand
+            d_exact = jnp.sum(diff * diff, axis=-1)
+            valid = valid & (d_exact <= r * r)
+            d_sorted = d_exact
+            if k > 1:
+                d_tmp = jnp.where(valid, d_sorted, jnp.inf)
+                order = jnp.argsort(d_tmp, axis=1)
+                d_sorted = jnp.take_along_axis(d_sorted, order, axis=1)
+                i_sorted = jnp.take_along_axis(i_sorted, order, axis=1)
+                valid = jnp.take_along_axis(valid, order, axis=1)
+        d_sorted = jnp.where(valid, d_sorted, jnp.inf)
         i_sorted = jnp.where(valid, i_sorted, -1)
-        if k > 1:
-            order = jnp.argsort(d_sorted, axis=1)
-            d_sorted = jnp.take_along_axis(d_sorted, order, axis=1)
-            i_sorted = jnp.take_along_axis(i_sorted, order, axis=1)
     else:
         # ---- portable XLA path: per-tile window slices under lax.map
         start = jnp.clip(lo, 0, jnp.maximum(m - W, 0))
@@ -369,6 +456,8 @@ def sweep_knn(
     # sorted-ref indices -> original ref ids
     safe = jnp.maximum(i_sorted, 0)
     i_orig = jnp.where(i_sorted >= 0, ref_order[safe].astype(jnp.int32), -1)
+    if assume_sorted:
+        return d_sorted, i_orig, overflow
     # un-sort the queries
     d_out = d_sorted[inv]
     i_out = i_orig[inv]

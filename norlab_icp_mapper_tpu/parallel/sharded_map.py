@@ -633,31 +633,42 @@ class ShardedMapperStep:
         # (Map.cpp:527-529).  Presorts are hoisted: once per solve for the
         # map (static across GN iterations), once per merge for the gate.
         from ..ops.nn import _use_pallas as _nn_use_pallas
-        from ..ops.nn_sweep import presort_ref, presort_queries, sweep_knn
+        from ..ops.nn_sweep import presort_ref, sweep_knn
         from ..icp.engine import _sweep_precision
         on_tpu = _nn_use_pallas()
         use_sweep = np.isfinite(cfg.match_max_dist) and on_tpu
 
         def sweep_matchers(read_pos, read_mask, map_pos, map_msk):
-            """Per-solve matcher closure: (moved_reading, cur_mask) ->
-            (d2 [N], idx [N]); d2 = inf beyond the matcher radius."""
+            """Per-solve matcher closure + the (possibly re-ordered)
+            reading the solve loop should run on.  Returns
+            ``(match_fn, read_pos, read_mask)`` where ``match_fn(p, cur)
+            -> (d2 [N], idx [N])``, d2 = inf beyond the matcher radius.
+
+            On TPU the reading is sorted by x ONCE here and the whole
+            solve runs in sweep order (every shard sorts the identical
+            replicated reading deterministically, so per-query psum/pmin
+            alignment across shards is preserved; all downstream
+            consumers are order-invariant reductions)."""
             if not use_sweep:
                 def match_bf(p, cur):
                     d2, idx = local_nn(p, map_pos, map_msk)
                     return jnp.where(cur, d2, jnp.inf), idx
-                return match_bf
+                return match_bf, read_pos, read_mask
             pre = presort_ref(map_pos, map_msk)
-            pq = presort_queries(read_pos, read_mask)
+            q_x = jnp.where(read_mask, read_pos[:, 0], 1e9)
+            order = jnp.argsort(q_x)
+            read_pos = read_pos[order]
+            read_mask = read_mask[order]
 
             def match_sweep(p, cur):
                 d2, idx, ov = sweep_knn(
                     p, map_pos, cur, map_msk, k=1,
                     max_radius=cfg.match_max_dist, q_tile=1024, W=8192,
-                    presorted=pre, presorted_q=pq,
+                    presorted=pre, assume_sorted=True,
                     precision=_sweep_precision())
                 record_overflow("sharded_matcher_sweep", ov)
                 return d2[:, 0], idx[:, 0]
-            return match_sweep
+            return match_sweep, read_pos, read_mask
 
         def trimmed_threshold(gmin, matched):
             """lpm TrimmedDistOutlierFilter: keep the ``ratio`` fraction of
@@ -689,8 +700,8 @@ class ShardedMapperStep:
             ``docs/MapperConfiguration.md:181-182``."""
             n_read = jnp.maximum(jnp.sum(read_mask.astype(jnp.float32)), 1.0)
 
-            match_nn = sweep_matchers(read_pos, read_mask, map_pos,
-                                      map_msk)
+            match_nn, read_pos, read_mask = sweep_matchers(
+                read_pos, read_mask, map_pos, map_msk)
             n_hist = cfg.max_iter if cfg.inspect else 1
 
             if cfg.minimizer == "IdentityErrorMinimizer":

@@ -96,3 +96,31 @@ def test_presorted_matches_unsorted(rng):
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
     assert int(o0) == int(o1)
+
+
+def test_sweep_packed_matches_unpacked(rng):
+    """Packed-key epilogue (quantized ranking + exact re-rank) must agree
+    with the exact-f32 unpacked kernel away from quantization-step ties."""
+    from jax.experimental.pallas import tpu as pltpu
+    q = jnp.asarray(rng.uniform(-5, 5, size=(1500, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-5, 5, size=(1500, 3)).astype(np.float32))
+    rmask = jnp.asarray(rng.random(1500) > 0.2)  # masked refs must not leak
+    with pltpu.force_tpu_interpret_mode():
+        d_u, i_u, _ = sweep_knn(q, r, ref_mask=rmask, k=3, max_radius=1.5,
+                                q_tile=256, W=1024, use_pallas=True,
+                                packed=False)
+        d_p, i_p, _ = sweep_knn(q, r, ref_mask=rmask, k=3, max_radius=1.5,
+                                q_tile=256, W=1024, use_pallas=True,
+                                packed=True)
+    d_u, i_u = np.asarray(d_u), np.asarray(i_u)
+    d_p, i_p = np.asarray(d_p), np.asarray(i_p)
+    # identical validity pattern and (modulo one quantization step at the
+    # k-th boundary) identical picks; exact re-rank makes reported
+    # distances exact in both modes
+    assert (np.isfinite(d_u) == np.isfinite(d_p)).mean() > 0.999
+    agree = i_u == i_p
+    assert agree.mean() > 0.999, agree.mean()
+    both = np.isfinite(d_u) & np.isfinite(d_p)
+    np.testing.assert_allclose(d_p[both], d_u[both], rtol=1e-4, atol=2e-5)
+    # no masked ref ever surfaces
+    assert not np.isin(i_p[i_p >= 0], np.where(~np.asarray(rmask))[0]).any()
