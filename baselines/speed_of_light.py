@@ -91,6 +91,41 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
 
+    # ---- r5: the PRODUCTION matcher kernel (single-launch sorted sweep,
+    # VPU-direct distances).  The r4 roof model treated the 6-pass f32
+    # MXU cross-term as the binding resource (256 Gpair/s); r5 replaces
+    # the distance computation entirely: for D=3 the MXU pads its
+    # contraction to the array's 128 depth, while ~3 (sub, fma) VPU
+    # ops/pair roof at V5E_VPU/9 ~ 430 Gpair/s AND are numerically exact
+    # with no |q|^2/|r|^2 cancellation.  Measured k=1 kernel: 5.10 ms
+    # (MXU HIGHEST) -> 2.97 ms (VPU) at 402 Mpair = 135 Gpair/s.
+    from norlab_icp_mapper_tpu.ops.nn_sweep import sweep_knn, presort_ref
+    q = jnp.asarray(np.concatenate([
+        rng.uniform(0, 100, (49152, 2)),
+        rng.uniform(0, 8, (49152, 1))], axis=1).astype(np.float32))
+    r = jnp.asarray(np.concatenate([
+        rng.uniform(0, 100, (163840, 2)),
+        rng.uniform(0, 8, (163840, 1))], axis=1).astype(np.float32))
+    qm = jnp.ones((49152,), bool)
+    rm = jnp.ones((163840,), bool)
+    pre = jax.tree.map(lambda x: x.block_until_ready(), presort_ref(r, rm))
+    qs = q[jnp.argsort(q[:, 0])]
+    for k, packed in ((1, False), (3, True)):
+        f = jax.jit(lambda qs=qs, k=k, packed=packed: sweep_knn(
+            qs, r, qm, rm, k=k, max_radius=2.0, q_tile=1024, W=8192,
+            use_pallas=True, presorted=pre, assume_sorted=True,
+            packed=packed))
+        dt = timed(f)
+        pairs = 49152 * 8704  # N x (W + tr) live window pairs
+        vpu_ops = pairs * (9.0 + (2.0 if k == 1 else 2.0 + 2.0 * k))
+        rows.append({
+            "kernel": "sweep_knn_fused_vpu", "N": 49152, "W": 8192,
+            "k": k, "packed": packed, "ms": round(dt * 1e3, 2),
+            "gpairs_per_s": round(pairs / dt / 1e9, 1),
+            "vpu_roof_pct": round(100.0 * (vpu_ops / dt) / VPU_ROOF, 1),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
     knn_configs = [
         # (N queries, M refs, k) — production-ish shapes
         (49152, 8192, 6),    # ICP matcher sweep window slice
@@ -201,19 +236,20 @@ def main():
                 K1_PAIR_ROOF_HIGHEST / 1e9, 1),
             "k1_pair_roof_default_gpairs": round(
                 K1_PAIR_ROOF_DEFAULT / 1e9, 1),
-            "note": "CORRECTED r4 roof model (replaces r3's VPU-epilogue "
-                    "claim): for exact-f32 k=1 the BINDING resource is "
-                    "the HIGHEST (6-pass bf16) cross-term on the "
-                    "128-padded MXU contraction — roof = 197e12 MACs / "
-                    "(128*6) = 256 Gpair/s; see 'components' for the "
-                    "measured attribution (folding the epilogue FMA into "
-                    "the matmul changed nothing; 1-pass DEFAULT runs "
-                    "~3x faster but misranks neighbors at map coordinate "
-                    "scales, so exact mode keeps HIGHEST).  k>1 remains "
-                    "epilogue-bound (k min-extraction rounds); "
-                    "vpu_roof_pct applies there.  NOTE the production "
-                    "matcher does ~20x fewer pairs than these brute-force "
-                    "shapes via the sorted sweep (ops/nn_sweep.py)."},
+            "note": "r5 roof model: the PRODUCTION sweep kernel computes "
+                    "distances DIRECTLY on the VPU (subtract-first "
+                    "squares, ~9 ops/pair, roof ~430 Gpair/s) — for D=3 "
+                    "this beats the r4 'binding' MXU route, whose "
+                    "128-padded 6-pass HIGHEST contraction roofs at 256 "
+                    "Gpair/s, while being numerically exact (no "
+                    "|q|^2/|r|^2 cancellation).  Measured k=1 kernel "
+                    "5.10 -> 2.97 ms (sweep_knn_fused_vpu rows).  k>1 "
+                    "uses quantized packed-key merging (r^2/2^17 ranking "
+                    "steps, SWEEP_PRECISION.json) — plain integer mins, "
+                    "no argmin/index planes.  The knn_pallas brute-force "
+                    "rows below keep the MXU route for comparison; the "
+                    "production matcher does ~20x fewer pairs than those "
+                    "brute-force shapes via the sorted sweep."},
             "rows": rows}, fh, indent=1)
     print(f"wrote {args.out}", flush=True)
 

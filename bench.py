@@ -194,6 +194,28 @@ def main():
     p2_scan7 = p2.apply_input_filters(scans[7])
     gn_iter_ms, gn_iters = solve_p50(p2, p2_scan7, poses[7][0])
 
+    if os.environ.get("NIM_BENCH_QUICK"):
+        # variance-characterization mode (baselines/BENCH_VARIANCE.md):
+        # the two steady-state throughputs + solve timings only
+        baseline = get_baseline()
+        out = {
+            "metric": "scans_per_sec_chip",
+            "value": round(scans_per_sec, 3),
+            "unit": "scans/s",
+            "vs_baseline": round(
+                scans_per_sec / baseline.get("scans_per_sec_cpu",
+                                             float("nan")), 3),
+            "matcher_pass_ms_p50": round(matcher_pass_ms, 2),
+            "p2plane_scans_per_sec": round(p2_scans_per_sec, 3),
+            "gn_iter_ms_p50": round(gn_iter_ms, 2),
+            "gn_iters_at_steady_state": gn_iters,
+        }
+        p2_base = baseline.get("p2plane_scans_per_sec_cpu")
+        if p2_base:
+            out["p2plane_vs_baseline"] = round(p2_scans_per_sec / p2_base, 3)
+        print(json.dumps(out))
+        return
+
     # --- secondary: online pose latency (register/merge split programs)
     from norlab_icp_mapper_tpu import Mapper
     online = Mapper(CONFIG, is_3d=True, is_online=True, is_mapping=True)

@@ -60,6 +60,22 @@ def _sweep_precision():
     v = os.environ.get("NIM_TPU_SWEEP_PRECISION", "highest").lower()
     return None if v in ("highest", "exact", "f32") else v
 
+def _rematch_every() -> int:
+    """GN iterations per matcher pass (correspondence-reuse period).
+
+    Default 2: the matcher (the dominant per-iteration cost) runs every
+    other iteration and the in-between iteration re-minimizes against the
+    held pairs — a true GN update on the moved reading.  Validated on the
+    golden perturbed-odometry harness (baselines/validate_p2plane.py:
+    recovered ATE unchanged; see BENCH_VARIANCE.md r5) and by the CPU
+    test suite, which runs with this default.  Set
+    ``NIM_TPU_REMATCH_EVERY=1`` for lpm's strict match-every-iteration
+    behavior.
+    """
+    import os
+    return max(1, int(os.environ.get("NIM_TPU_REMATCH_EVERY", "2")))
+
+
 __all__ = ["ICPEngine", "ICPResult"]
 
 
@@ -346,7 +362,8 @@ class ICPEngine:
                                  max_iter=self.max_iter,
                                  diff_checker=self.diff_checker,
                                  bound_checker=self.bound_checker,
-                                 step_filter=step_fn)
+                                 step_filter=step_fn,
+                                 rematch_every=_rematch_every())
 
     def _get_solve(self, n_cap: int, m_cap: int):
         key = (n_cap, m_cap, self.dim)
@@ -376,11 +393,12 @@ def _rot_angle(R: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=(
     "dim", "k", "max_dist", "outlier_filters", "minimizer", "max_iter",
-    "diff_checker", "bound_checker", "step_filter"))
+    "diff_checker", "bound_checker", "step_filter", "rematch_every"))
 def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
                rng_key=None, ref_presorted=None, *,
                dim, k, max_dist, outlier_filters, minimizer, max_iter,
-               diff_checker, bound_checker, step_filter=None):
+               diff_checker, bound_checker, step_filter=None,
+               rematch_every=1):
     """One fused ICP registration: while_loop{ match → weight → minimize }.
 
     ``ref_presorted`` optionally carries ``ops.nn_sweep.presort_ref``'s
@@ -542,15 +560,40 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
         rms = jnp.sqrt(jnp.sum(w * jnp.sum(diff * diff, -1)) / wsum)
         return dT, rms
 
+    # correspondence reuse (VERDICT r4 next-steps 1c): with
+    # ``rematch_every = R > 1`` the expensive matcher pass runs on every
+    # R-th GN iteration and the iterations in between re-minimize against
+    # the HELD correspondences (map points q/qn and outlier weights w stay
+    # fixed; the residuals/Jacobians are rebuilt from the freshly moved
+    # reading, so each reuse step is still a true Gauss-Newton update).
+    # lpm re-matches every iteration; this deviation is validated by the
+    # golden-ATE harness (baselines/validate_p2plane.py) and the CPU test
+    # suite, which run with the production default.
+    use_reuse = (rematch_every > 1
+                 and minimizer != "IdentityErrorMinimizer")
+
     def cond(state):
-        T, it, done, overlap, resid, hist = state
-        return (it < max_iter) & ~done
+        return (state[1] < max_iter) & ~state[2]
 
     def body(state):
-        T, it, done, _, _, hist = state
+        if use_reuse:
+            T, it, done, _, _, hist, corr = state
+        else:
+            T, it, done, _, _, hist = state
         it_key = (jax.random.fold_in(rng_key, it)
                   if rng_key is not None else None)
-        p, q, qn, w, overlap = match_and_weigh(T, it_key)
+        if use_reuse:
+            p = se3.apply_points(T, read_pos)
+
+            def fresh(_):
+                _, q, qn, w, ov = match_and_weigh(T, it_key)
+                return q, qn, w, ov
+
+            corr = jax.lax.cond(it % rematch_every == 0, fresh,
+                                lambda c: c, corr)
+            q, qn, w, overlap = corr
+        else:
+            p, q, qn, w, overlap = match_and_weigh(T, it_key)
         dT, rms = minimize(p, q, qn, w)
         T_new = dT @ T
         new_done = jnp.array(minimizer == "IdentityErrorMinimizer")
@@ -569,10 +612,20 @@ def _icp_solve(read_pos, read_mask, ref_pos, ref_norm, ref_mask,
             new_done = new_done | (
                 (_rot_angle(T_new[:dim, :dim]) > max_rot)
                 | (jnp.linalg.norm(T_new[:dim, dim]) > max_trans))
+        if use_reuse:
+            return (T_new, it + 1, new_done, overlap, rms, hist, corr)
         return (T_new, it + 1, new_done, overlap, rms, hist)
 
     hist0 = jnp.full((smooth_len, 2), jnp.inf, f32)
     state0 = (jnp.eye(hdim, dtype=f32), jnp.int32(0), jnp.array(False),
               f32(0.0), f32(0.0), hist0)
-    T, iters, _, overlap, resid, _ = jax.lax.while_loop(cond, body, state0)
+    if use_reuse:
+        kk = k
+        corr0 = (jnp.zeros((read_pos.shape[0], kk, dim), f32),
+                 jnp.zeros((read_pos.shape[0], kk, dim), f32),
+                 jnp.zeros((read_pos.shape[0], kk), f32),
+                 f32(0.0))
+        state0 = state0 + (corr0,)
+    out = jax.lax.while_loop(cond, body, state0)
+    T, iters, _, overlap, resid = out[:5]
     return T, overlap, iters, resid

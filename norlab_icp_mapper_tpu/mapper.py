@@ -484,6 +484,7 @@ class Mapper:
             self.map.local = None
             self.map._known_count = 0
             self.icp._ref = None
+            self.icp._ref_presorted = None
             raise RuntimeError(
                 "fused scan step failed mid-dispatch; the device-resident "
                 "map state was donated and is unrecoverable — rebuild the "
@@ -494,6 +495,10 @@ class Mapper:
         self.map.local = new_bufs["map"]
         self.map._known_count = None
         self.icp._ref = new_bufs.get("ref", new_bufs["map"])
+        # keep the engine's cached presort consistent with the directly-
+        # assigned _ref (stale packs produce wrong matches in stepwise
+        # solves; the fused program itself uses bufs["ref_sort"])
+        self.icp._ref_presorted = new_bufs.get("ref_sort")
         self.overlap = aux["overlap"]
         self.pose = new_meta["pose"]
         self.trajectory.add_pose(new_meta["pose"], timestamp_ns)
@@ -592,6 +597,7 @@ class Mapper:
             out["ref_sort"] = presort_ref(sref.positions, sref.mask)
         self.map.local = out["map"]
         self.icp._ref = out.get("ref", out["map"])
+        self.icp._ref_presorted = out.get("ref_sort")
         return out
 
     def _remerge_overflow(self, scan: PointBatch, pose_np) -> None:
@@ -668,6 +674,7 @@ class Mapper:
                 if not isinstance(self.overlap, float) else self.overlap
             self.map.local = bufs["map"]
             self.icp._ref = bufs.get("ref", bufs["map"])
+            self.icp._ref_presorted = bufs.get("ref_sort")
             self._fused_state = None
         for u in self._pending_window:
             self.map._apply_update(u)

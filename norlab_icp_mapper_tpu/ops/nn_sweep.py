@@ -137,7 +137,6 @@ def _fused_kernel(start_ref, live_ref, params_ref, q_ref, r_ref, d_out,
     def _compute():
         q = q_ref[:dim, :]  # [D, TQ]
         r = r_ref[:dim, :]  # [D, TR]
-        r2 = jnp.sum(r * r, axis=0)  # [TR]; invalid refs carry ~BIG^2
 
         def dot_rq(rr, qq):
             return jax.lax.dot_general(
@@ -145,11 +144,25 @@ def _fused_kernel(start_ref, live_ref, params_ref, q_ref, r_ref, d_out,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
 
-        if precision == "bf16":
-            # 1 MXU pass; candidate ranking only — the wrapper re-ranks the
-            # survivors in exact f32 (centered coords keep the bf16 error
-            # small; measured in baselines/sweep_precision.py)
+        if precision is None or precision == "vpu":
+            # EXACT f32 distances straight on the VPU: for D=3 the MXU
+            # route pads the contraction to the array's 128 depth (and
+            # HIGHEST multiplies that by 6 passes), so its pair-rate roof
+            # is 197e12/(128*6) = 256 Gpair/s — while ~3*(sub,fma) VPU
+            # ops/pair roof at ~430 Gpair/s.  Subtract-first squares are
+            # also the numerically IDEAL form (no |q|^2/|r|^2
+            # cancellation, no shifted-distance reconstruction).
+            s = jnp.zeros((tr, tq), jnp.float32)
+            for d_ in range(dim):
+                dd = r[d_][:, None] - q[d_][None, :]
+                s = s + dd * dd  # true d2 in s
+        elif precision == "bf16":
+            # 1 MXU pass; candidate ranking only — the wrapper re-ranks
+            # the survivors in exact f32 (centered coords keep the bf16
+            # error small; measured in baselines/sweep_precision.py)
+            r2 = jnp.sum(r * r, axis=0)
             cross = dot_rq(r.astype(jnp.bfloat16), q.astype(jnp.bfloat16))
+            s = r2[:, None] - 2.0 * cross
         elif precision == "bf16x3":
             # 3-pass bf16x3 f32 emulation (Mosaic has no Precision.HIGH):
             # x = hi + lo with hi = bf16(x); drop the lo*lo term
@@ -158,17 +171,23 @@ def _fused_kernel(start_ref, live_ref, params_ref, q_ref, r_ref, d_out,
             rl = (r - rh.astype(jnp.float32)).astype(jnp.bfloat16)
             ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
             cross = dot_rq(rh, qh) + (dot_rq(rh, ql) + dot_rq(rl, qh))
-        else:  # exact f32 (6-pass)
+            r2 = jnp.sum(r * r, axis=0)
+            s = r2[:, None] - 2.0 * cross
+        else:  # exact f32 via the MXU (6-pass) — kept for comparison
+            r2 = jnp.sum(r * r, axis=0)
             cross = jax.lax.dot_general(
                 r, q, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-        s = r2[:, None] - 2.0 * cross  # [TR, TQ]
+            s = r2[:, None] - 2.0 * cross
         base = (start_ref[i] + j) * tr
 
         if packed:
-            q2 = jnp.sum(q * q, axis=0)  # [TQ]
-            d2 = jnp.maximum(s + q2[None, :], 0.0)
+            if precision is None or precision == "vpu":
+                d2 = s  # already true squared distances
+            else:
+                q2 = jnp.sum(q * q, axis=0)  # [TQ]
+                d2 = jnp.maximum(s + q2[None, :], 0.0)
             inv_step = jnp.float32(_QMAX) / params_ref[0]  # params[0]=r^2
             qd = jnp.minimum(d2 * inv_step,
                              jnp.float32(_QMAX)).astype(jnp.int32)
@@ -401,15 +420,19 @@ def sweep_knn(
             d_sorted = qd.astype(jnp.float32) * step
             valid = (keys != _KEY_SENTINEL) & (qd < _QMAX) & qm_s[:n, None]
         else:
-            # exact-f32 mode: the kernel ranked pairs exactly; add |q|^2
-            # back on the tiny [N, k] output (r4 epilogue — no gathers)
-            s = d_t[:, :n].T  # [N, k] shifted distances
+            s = d_t[:, :n].T  # [N, k]
             i_sorted = i_t[:, :n].T
-            q2 = jnp.sum(q_s[:n] * q_s[:n], axis=1)
             valid = (s < 1.0e15) & (i_sorted >= 0)
-            d_sorted = jnp.maximum(s + q2[:, None], 0.0)
+            if precision is None or precision == "vpu":
+                # VPU-direct mode: s IS the true squared distance
+                d_sorted = s
+            else:
+                # MXU modes rank in shifted space; add |q|^2 back on the
+                # tiny [N, k] output
+                q2 = jnp.sum(q_s[:n] * q_s[:n], axis=1)
+                d_sorted = jnp.maximum(s + q2[:, None], 0.0)
             valid = valid & (d_sorted <= r * r) & qm_s[:n, None]
-        if precision is not None:
+        if precision in ("bf16", "bf16x3"):
             # bf16 ranking tiers (opt-in): re-rank the survivors in exact
             # f32 — the candidate gather is what these tiers pay for their
             # cheaper cross-term (see SWEEP_PRECISION.json)

@@ -133,60 +133,73 @@ def radius_pca_xla(query, ref, query_mask=None, ref_mask=None,
 # Pallas TPU kernel
 # --------------------------------------------------------------------------
 
-def _pca_kernel(q_ref, r_ref, acc_ref, *, dim, r2, tq, tr, nm_pad):
+def _pca_fused_kernel(start_ref, live_ref, q_ref, r_ref, acc_ref, *,
+                      dim, r2, tq, tr, nm_pad):
+    """Single-launch sweep PCA: grid (query tiles, window blocks) with the
+    per-tile window start scalar-prefetched — same schedule as
+    ``nn_sweep._fused_kernel`` (one launch for the whole pass instead of a
+    per-tile ``lax.map`` of small kernels + ``dynamic_slice`` copies)."""
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         acc_ref[:, :] = jnp.zeros((nm_pad, tq), jnp.float32)
 
-    q = q_ref[:dim, :]  # [D, TQ]
-    r = r_ref[:dim, :]  # [D, TR]
-    q2 = jnp.sum(q * q, axis=0)  # [TQ]
-    r2s = jnp.sum(r * r, axis=0)  # [TR]
-    cross = jax.lax.dot_general(
-        r, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # [TR, TQ]
-    d2 = r2s[:, None] + q2[None, :] - 2.0 * cross
-    # invalid points carry BIG coords -> d2 ~ 1e18, always outside r2
-    w = (d2 <= r2).astype(jnp.float32)  # [TR, TQ]
+    @pl.when(live_ref[i] != 0)
+    def _compute():
+        q = q_ref[:dim, :]  # [D, TQ]
+        r = r_ref[:dim, :]  # [D, TR]
+        # EXACT f32 distances on the VPU (subtract-first squares): for
+        # D=3 the MXU cross-term pads its contraction to the array's 128
+        # depth x 6 HIGHEST passes (roof 256 Gpair/s), while ~3 fused
+        # multiply-adds/pair on the VPU roof at ~430 Gpair/s — faster AND
+        # numerically ideal (no |q|^2/|r|^2 cancellation).
+        d2 = jnp.zeros((tr, tq), jnp.float32)
+        for d_ in range(dim):
+            dd = r[d_][:, None] - q[d_][None, :]
+            d2 = d2 + dd * dd
+        w = (d2 <= r2).astype(jnp.float32)  # [TR, TQ]
+        M = _moment_rows(r, dim)
+        nm = M.shape[0]
+        M = jnp.pad(M, ((0, nm_pad - nm), (0, 0)))
+        acc_ref[:, :] += jax.lax.dot_general(
+            M, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
-    M = _moment_rows(r, dim)  # [nm, TR] — invalid cols huge but w=0 there
-    nm = M.shape[0]
-    M = jnp.pad(M, ((0, nm_pad - nm), (0, 0)))
-    acc_ref[:, :] += jax.lax.dot_general(
-        M, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
 
-
-@functools.partial(jax.jit, static_argnames=("r2", "dim", "tq", "tr"))
-def _pca_planar(qp, rp, *, r2, dim, tq, tr):
+@functools.partial(jax.jit, static_argnames=("r2", "dim", "tq", "tr",
+                                             "w_blocks"))
+def _pca_fused(start_blk, live, qp, rp, *, r2, dim, tq, tr, w_blocks):
     n_pad = qp.shape[1]
-    m_pad = rp.shape[1]
     nm_pad = 8 if dim == 2 else 16
-    grid = (n_pad // tq, m_pad // tr)
-    kern = functools.partial(_pca_kernel, dim=dim, r2=r2, tq=tq, tr=tr,
-                             nm_pad=nm_pad)
-    acc = pl.pallas_call(
-        kern,
+    grid = (n_pad // tq, w_blocks)
+    kern = functools.partial(_pca_fused_kernel, dim=dim, r2=r2, tq=tq,
+                             tr=tr, nm_pad=nm_pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, tq), lambda i_, j_: (0, i_),
+            pl.BlockSpec((8, tq), lambda i, j, s_, lv: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tr), lambda i_, j_: (0, j_),
+            pl.BlockSpec((8, tr), lambda i, j, s_, lv: (0, s_[i] + j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nm_pad, tq), lambda i_, j_: (0, i_),
+        out_specs=pl.BlockSpec((nm_pad, tq), lambda i, j, s_, lv: (0, i),
                                memory_space=pltpu.VMEM),
+    )
+    acc = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nm_pad, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * m_pad * (dim + nm_pad),
-            bytes_accessed=8 * (n_pad + m_pad) * 4 + nm_pad * n_pad * 4,
+            flops=2 * n_pad * w_blocks * tr * (dim + nm_pad) * 6,
+            bytes_accessed=8 * (n_pad + (n_pad // tq) * w_blocks * tr) * 4
+            + nm_pad * n_pad * 4,
             transcendentals=0,
         ),
-    )(qp, rp)
+    )(start_blk, live, qp, rp)
     return acc
 
 
@@ -253,42 +266,54 @@ def _radius_pca_sweep(query, ref, query_mask, ref_mask, max_radius,
     hi = jnp.searchsorted(ref_xs, tile_max + r).astype(jnp.int32)
     live = jnp.any(qm_tiles, axis=1)
     overflow = jnp.sum((live & ((hi - lo) > W)).astype(jnp.int32))
-    start = jnp.clip(lo, 0, jnp.maximum(m - W, 0))
 
-    q_tiles = q_s.reshape(n_tiles, q_tile, dim)
     nm = _n_moments(dim)
     nm_pad = 8 if dim == 2 else 16
 
-    def one_tile(args):
-        qt, qmt, s0 = args
+    if use_pallas:
+        # single-launch sweep: scalar-prefetched window starts, no
+        # per-tile dispatch / dynamic_slice window copies
+        tr = 512
+        m_pad = _round_up(max(m, tr), tr)
+        w_blocks = -(-W // tr) + 1
+        m_pad = max(m_pad, w_blocks * tr)
+        rp = planarize(ref_s, ref_mask_s, m_pad)
+        qp = planarize(q_s, qm_s, n_pad)
+        start_blk = jnp.clip(lo // tr, 0, m_pad // tr - w_blocks)
+        # kernel query tile == the sweep tile so start_blk/live index 1:1
+        acc_pad = _pca_fused(start_blk, live.astype(jnp.int32), qp, rp,
+                             r2=r2, dim=dim, tq=q_tile, tr=tr,
+                             w_blocks=w_blocks)
+        acc_sorted = acc_pad[:nm, :n]
+    else:
+        start = jnp.clip(lo, 0, jnp.maximum(m - W, 0))
+        q_tiles = q_s.reshape(n_tiles, q_tile, dim)
 
-        def live_fn(_):
-            win = jax.lax.dynamic_slice(ref_s, (s0, 0), (W, dim))
-            wm = jax.lax.dynamic_slice(ref_mask_s, (s0,), (W,))
-            if use_pallas:
-                tq = min(q_tile, 1024)
-                qp = planarize(qt, qmt, _round_up(q_tile, tq))
-                rp = planarize(win, wm, _round_up(W, 512))
-                acc = _pca_planar(qp, rp, r2=r2, dim=dim, tq=tq,
-                                  tr=min(512, W))
-                return acc[:, :q_tile]
-            q2 = jnp.sum(qt * qt, axis=1)
-            r2s = jnp.sum(win * win, axis=1)
-            cross = jnp.dot(win, qt.T,
-                            precision=jax.lax.Precision.HIGHEST)
-            d2 = r2s[:, None] + q2[None, :] - 2.0 * cross
-            w = ((d2 <= r2) & wm[:, None] & qmt[None, :]).astype(jnp.float32)
-            M = _moment_rows(win.T, dim)
-            acc = jnp.dot(M, w, precision=jax.lax.Precision.HIGHEST)
-            return jnp.pad(acc, ((0, nm_pad - nm), (0, 0)))
+        def one_tile(args):
+            qt, qmt, s0 = args
 
-        def dead_fn(_):
-            return jnp.zeros((nm_pad, q_tile), jnp.float32)
+            def live_fn(_):
+                win = jax.lax.dynamic_slice(ref_s, (s0, 0), (W, dim))
+                wm = jax.lax.dynamic_slice(ref_mask_s, (s0,), (W,))
+                q2 = jnp.sum(qt * qt, axis=1)
+                r2s = jnp.sum(win * win, axis=1)
+                cross = jnp.dot(win, qt.T,
+                                precision=jax.lax.Precision.HIGHEST)
+                d2 = r2s[:, None] + q2[None, :] - 2.0 * cross
+                w = ((d2 <= r2) & wm[:, None]
+                     & qmt[None, :]).astype(jnp.float32)
+                M = _moment_rows(win.T, dim)
+                acc = jnp.dot(M, w, precision=jax.lax.Precision.HIGHEST)
+                return jnp.pad(acc, ((0, nm_pad - nm), (0, 0)))
 
-        return jax.lax.cond(jnp.any(qmt), live_fn, dead_fn, None)
+            def dead_fn(_):
+                return jnp.zeros((nm_pad, q_tile), jnp.float32)
 
-    acc_t = jax.lax.map(one_tile, (q_tiles, qm_tiles, start))  # [T, nm, tq]
-    acc_sorted = jnp.moveaxis(acc_t, 1, 0).reshape(nm_pad, n_pad)[:nm, :n]
+            return jax.lax.cond(jnp.any(qmt), live_fn, dead_fn, None)
+
+        acc_t = jax.lax.map(one_tile, (q_tiles, qm_tiles, start))
+        acc_sorted = jnp.moveaxis(acc_t, 1, 0).reshape(nm_pad,
+                                                       n_pad)[:nm, :n]
     # un-sort queries
     inv = jnp.zeros((n,), jnp.int32).at[q_order].set(
         jnp.arange(n, dtype=jnp.int32))

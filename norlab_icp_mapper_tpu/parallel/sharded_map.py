@@ -718,8 +718,14 @@ class ShardedMapperStep:
 
             smooth = cfg.diff_checker[2] if cfg.diff_checker else 1
 
-            def body(carry):
-                T, it, _, hist, done, ihist = carry
+            from ..icp.engine import _rematch_every
+            re_every = _rematch_every()  # same default as the single-chip
+            # engine (both backends deviate identically from lpm's
+            # match-every-iteration; the CPU mesh tests exercise this path)
+
+            def match_pairs(T, it):
+                """One full matcher + outlier-weighing pass; returns the
+                per-pair state the minimizer consumes."""
                 p = se3.apply_points(T, read_pos)
                 cur = step_mask(p, read_mask, key, it)
                 d2, idx = match_nn(p, cur)
@@ -757,6 +763,23 @@ class ShardedMapperStep:
                 w = jnp.where(mine, 1.0 / jnp.maximum(claims, 1.0), 0.0)
                 q = map_pos[jnp.maximum(idx, 0)]
                 qn = map_nrm[jnp.maximum(idx, 0)]
+                return q, qn, w, overlap
+
+            def body(carry):
+                T, it, _, hist, done, ihist, corr = carry
+                p = se3.apply_points(T, read_pos)
+                if re_every > 1:
+                    # correspondence reuse (engine._rematch_every): match
+                    # every R-th iteration, re-minimize against the held
+                    # pairs in between (q/qn/w fixed; residuals rebuilt
+                    # from the freshly moved reading)
+                    corr = jax.lax.cond(
+                        it % re_every == 0,
+                        lambda _: match_pairs(T, it),
+                        lambda c: c, corr)
+                else:
+                    corr = match_pairs(T, it)
+                q, qn, w, overlap = corr
                 if cfg.minimizer == "PointToPointErrorMinimizer":
                     # distributed weighted Kabsch (the single-chip SVD
                     # minimizer, engine.py:470-486): only the psum'd cross
@@ -842,13 +865,17 @@ class ShardedMapperStep:
                         sse = jax.lax.psum(jnp.sum(w * r * r), axis)
                     rms = jnp.sqrt(sse / wsum_g)
                     ihist = ihist.at[it].set(jnp.stack([overlap, rms]))
-                return (T_new, it + 1, overlap, hist, done, ihist)
+                return (T_new, it + 1, overlap, hist, done, ihist, corr)
 
             hist0 = jnp.full((smooth, 2), jnp.inf, jnp.float32)
             ihist0 = jnp.zeros((n_hist, 2), jnp.float32)
+            n_r = read_pos.shape[0]
+            corr0 = (jnp.zeros((n_r, dim), jnp.float32),
+                     jnp.zeros((n_r, dim), jnp.float32),
+                     jnp.zeros((n_r,), jnp.float32), jnp.float32(0.0))
             T0 = (jnp.eye(dim + 1, dtype=jnp.float32), jnp.int32(0),
-                  jnp.float32(0.0), hist0, jnp.array(False), ihist0)
-            T, iters, overlap, _, _, ihist = jax.lax.while_loop(
+                  jnp.float32(0.0), hist0, jnp.array(False), ihist0, corr0)
+            T, iters, overlap, _, _, ihist, _ = jax.lax.while_loop(
                 lambda c: (c[1] < cfg.max_iter) & ~c[4], body, T0)
             return T, overlap, iters, ihist
 
