@@ -301,7 +301,8 @@ class Mapper:
             self._sharded.process_input(
                 filtered_scan_in_sensor_frame, estimated_pose,
                 timestamp_ns=int(timestamp_ns),
-                is_mapping=self.is_mapping, read_mask=read_mask)
+                is_mapping=self.is_mapping, read_mask=read_mask,
+                scan_valid_hint=scan_valid_hint)
             self.pose = self._sharded.pose
             if self._sharded._mirrors is not None:
                 self.overlap = self._sharded._mirrors["overlap"]

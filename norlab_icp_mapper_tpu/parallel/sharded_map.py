@@ -1456,7 +1456,8 @@ class ShardedMapper:
         # (pose_dev, merged_dev, scan) of scan i-1 — harvested lazily to
         # drive the rolling window and the keyframe store without a
         # per-scan sync beyond the tiny pose/flag mirrors
-        self._pending: Optional[Tuple] = None
+        import collections
+        self._pending: "collections.deque" = collections.deque()
         self.inspector = None  # PerformanceInspector (set by from_mapper)
         self.overflow_totals = {"insert": 0, "halo": 0, "evict": 0}
         # out-of-window points that didn't fit the evict buffer last move:
@@ -1917,7 +1918,8 @@ class ShardedMapper:
                       stamp_s: Optional[float] = None,
                       is_mapping: bool = True,
                       timestamp_ns: Optional[int] = None,
-                      read_mask: Optional[jax.Array] = None):
+                      read_mask: Optional[jax.Array] = None,
+                      scan_valid_hint: Optional[int] = None):
         """One scan (sensor frame) + pose prior.  ``stamp_s`` (float
         seconds) or ``timestamp_ns`` (exact integer ns) must be given; the
         trajectory records exact ns, the in-program delay gate uses f32
@@ -1961,7 +1963,10 @@ class ShardedMapper:
         if self.window is not None and self.window.w is not None:
             self._advance_window(np.asarray(est_pose, np.float32))
 
-        n_scan = int(scan.capacity)
+        # worst-case per-scan growth bound: the loader's valid-count hint
+        # when given (padding can never insert), else the capacity
+        n_scan = int(min(scan_valid_hint, scan.capacity)
+                     if scan_valid_hint else scan.capacity)
         self._ensure_capacity(n_scan)
         prob = scan.descriptors.get("probabilityDynamic")
         prob = (prob[:, 0] if prob is not None
@@ -2026,26 +2031,39 @@ class ShardedMapper:
         self._last_pose = m["last_pose"]
         self.pose = m["pose"]
         self._mirrors = m
-        self._pending = (m["pose"], m["merged"],
-                         scan if self._kf_cfg is not None else None)
+        self._pending.append((m["pose"], m["merged"],
+                              scan if self._kf_cfg is not None else None))
         self.trajectory.add_pose(m["pose"], timestamp_ns)
 
-    def _harvest_pending(self):
-        """Fetch scan i-1's (pose, merged) mirrors once and fold them into
-        the rolling window and the keyframe store.  No-op (and no sync)
-        when neither consumer is active."""
-        if self._pending is None:
-            return
-        pose_d, merged_d, scan = self._pending
-        self._pending = None
-        if self.window is None and self._kf_cfg is None:
-            return
-        pose_h, merged_h = jax.device_get((pose_d, merged_d))
-        pose_h = np.asarray(pose_h)
-        if self._kf_cfg is not None and bool(merged_h):
-            self._maybe_keyframe(scan, pose_h)
-        if self.window is not None:
-            self._advance_window(pose_h)
+    PIPE_DEPTH = 3  # un-harvested scans the host may run ahead of
+
+    def _harvest_pending(self, force: bool = False):
+        """Fold finished scans' (pose, merged) mirrors into the rolling
+        window and the keyframe store — OPPORTUNISTICALLY: entries are
+        consumed when their mirror copies have landed (``is_ready()``,
+        ~1 us) and the loop only blocks when more than ``PIPE_DEPTH``
+        scans are in flight (or on ``force``/drain).  The r4 design
+        blocked on scan i-1's mirrors at EVERY dispatch, serializing the
+        host on the device step (measured 58 ms/scan of pure
+        ``device_get`` wait at bench shapes); a 1-3-scan window/keyframe
+        lag is harmless — the 2-cell hysteresis absorbs it and the
+        jump-aware prior-based advance in ``process_input`` covers pose
+        jumps (tested at 40 m/scan teleports)."""
+        while self._pending:
+            if self.window is None and self._kf_cfg is None:
+                self._pending.clear()
+                return
+            pose_d, merged_d, scan = self._pending[0]
+            if (not force and len(self._pending) <= self.PIPE_DEPTH
+                    and not (pose_d.is_ready() and merged_d.is_ready())):
+                return
+            self._pending.popleft()
+            pose_h, merged_h = jax.device_get((pose_d, merged_d))
+            pose_h = np.asarray(pose_h)
+            if self._kf_cfg is not None and bool(merged_h):
+                self._maybe_keyframe(scan, pose_h)
+            if self.window is not None:
+                self._advance_window(pose_h)
 
     # ------------------------------------------------------------ keyframes
     def enable_keyframes(self, min_distance: float = 1.0,
@@ -2066,7 +2084,7 @@ class ShardedMapper:
     def drain(self) -> Dict[str, Any]:
         """Harvest the tiny mirrors (host sync point) and finish any
         deferred window bookkeeping."""
-        self._harvest_pending()
+        self._harvest_pending(force=True)
         if self._mirrors is None:
             return {}
         m = jax.device_get({k: v for k, v in self._mirrors.items()
